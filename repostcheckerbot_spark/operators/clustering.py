@@ -1,0 +1,145 @@
+"""Transitive closure: large-star / small-star connected components.
+
+The reference has no explicit clustering — clusters exist implicitly as the
+accumulation of pairwise matches against the stored corpus
+(/root/reference/database.py:288-711: each new record is linked to ALL stored
+matches, so a chain A≈B≈C ends up mutually reported over time). The batch
+generalization is connected components over the match-edge set.
+
+Algorithm: alternating large-star / small-star contractions
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+public algorithm), which converges in O(log n) rounds:
+
+  large-star(u): for every neighbor v > u, emit (v, m) where
+                 m = min(Γ(u) ∪ {u})
+  small-star(u): for every neighbor v ≤ u (edges oriented big→small),
+                 emit (v, m) ∪ (u, m), m = min(Γ≤(u) ∪ {u})
+
+Node ids are conv_id strings; "min" is lexicographic, so the converged parent
+of every node is the smallest conv_id in its component — matching the golden
+fixture convention (FIXTURES.md F-3).
+
+Scale notes: each round is one groupBy + one join, both on node id;
+``localCheckpoint`` per round truncates lineage (plans stay flat across ~log n
+iterations); when a ``checkpoint_dir`` is given, every round ALSO lands in
+parquet with round metadata so a killed job resumes mid-closure (north-rule
+resumability). Convergence test = (count, xor-of-hashes) signature equality —
+one cheap aggregate per round instead of an exceptAll subtraction.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """edges(src, dst) undirected-unique → new edges after large-star."""
+    nbrs = edges.select("src", "dst").union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    m = nbrs.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+    return (
+        nbrs.join(m, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """edges oriented big→small, then connect all small neighbors to the min."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    m = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    nbr_edges = (
+        oriented.join(m, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_edges = m.select("src", F.col("m").alias("dst"))
+    return nbr_edges.union(self_edges).where(F.col("src") != F.col("dst")).distinct()
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
+    max_iterations: int = 50,
+    metrics: list[dict] | None = None,
+) -> DataFrame:
+    """edges(conv_id_a, conv_id_b) [+ vertices(conv_id)] → (conv_id, cluster_id).
+
+    cluster_id = lexicographic min conv_id of the component. Vertices absent
+    from any edge (singletons) map to themselves when ``vertices`` is given.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")).where(
+        F.col("src") != F.col("dst")
+    ).distinct()
+    e = e.localCheckpoint(eager=True)
+
+    prev_sig = None
+    for it in range(max_iterations):
+        t0 = time.monotonic()
+        e = _small_star(_large_star(e))
+        if checkpoint_dir is not None:
+            path = f"{checkpoint_dir}/cc_iter={it:04d}"
+            e.write.mode("overwrite").parquet(path)
+            e = spark.read.parquet(path)
+        else:
+            e = e.localCheckpoint(eager=True)
+        sig = _signature(e)
+        if metrics is not None:
+            metrics.append(
+                {
+                    "stage": "cc",
+                    "iteration": it,
+                    "edges": sig[0],
+                    "wall_s": time.monotonic() - t0,
+                }
+            )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # converged edge set is a star forest: src → component min. Parents also
+    # need their own row.
+    assign = e.select(F.col("src").alias("conv_id"), F.col("dst").alias("cluster_id"))
+    roots = e.select(F.col("dst").alias("conv_id")).distinct().withColumn("cluster_id", F.col("conv_id"))
+    out = assign.unionByName(roots).groupBy("conv_id").agg(F.min("cluster_id").alias("cluster_id"))
+    if vertices is not None:
+        singles = (
+            vertices.select("conv_id")
+            .join(out.select("conv_id"), "conv_id", "left_anti")
+            .withColumn("cluster_id", F.col("conv_id"))
+        )
+        out = out.unionByName(singles)
+    return out
+
+
+def resume_connected_components(
+    spark: SparkSession, checkpoint_dir: str, **kwargs
+) -> DataFrame:
+    """Resume a closure from the latest persisted iteration (north-rule
+    resumability): read the newest ``cc_iter=NNNN`` parquet and continue."""
+    import os
+
+    iters = sorted(d for d in os.listdir(checkpoint_dir) if d.startswith("cc_iter="))
+    if not iters:
+        raise FileNotFoundError(f"no cc checkpoints under {checkpoint_dir}")
+    latest = spark.read.parquet(f"{checkpoint_dir}/{iters[-1]}")
+    return connected_components(
+        latest.select(F.col("src").alias("conv_id_a"), F.col("dst").alias("conv_id_b")),
+        checkpoint_dir=checkpoint_dir,
+        **kwargs,
+    )

@@ -1,0 +1,82 @@
+"""Pairwise scoring: exact sha edges + Arrow-batched difflib ratio on candidates.
+
+Reference parity (file:line in /root/reference/):
+- exact probe   — ``SELECT ... WHERE Content = ?`` emitting 100%-score matches
+  (database.py:365-388). Spark: self-equi-join on ``doc_sha`` (J2).
+- fuzzy scorer  — ``SequenceMatcher(None, stored, incoming).ratio()``
+  (database.py:395) with the DEFAULT autojunk=True. F1≥0.99 parity forces us
+  to call difflib itself — but only on LSH-surviving candidates (a vanishing
+  fraction of N²), inside an Arrow-batched pandas UDF (no per-row Python at
+  the Spark layer; the per-pair loop runs over an in-memory Arrow batch).
+- accept rule   — ``10 - ratio*10 < thresh``  ⇔  ``ratio > 1 - thresh/10``
+  (database.py:396; strict inequality).
+- score         — ``ratio * 100`` (database.py:399); exact matches score 100
+  (database.py:382).
+- exclusion     — records already matched exactly are skipped by the fuzzy
+  loop (``texts[0] not in result``, database.py:393) → left_anti join (J4).
+"""
+
+from __future__ import annotations
+
+from difflib import SequenceMatcher
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from repostcheckerbot_spark.config import PipelineConfig
+
+
+@F.pandas_udf(T.DoubleType())
+def difflib_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Batched Ratcliff–Obershelp ratio, reference semantics incl. autojunk.
+
+    The reference computes SequenceMatcher(None, stored, incoming) — ratio()
+    is symmetric in value, but autojunk classification is per-second-argument;
+    we pass (a, b) in canonical (conv_id_a < conv_id_b) order and the fixture
+    oracle is computed the same way, so verdicts align.
+    """
+    return pd.Series(
+        [SequenceMatcher(None, x, y).ratio() if x is not None and y is not None else 0.0 for x, y in zip(a, b)]
+    )
+
+
+def exact_edges(docs: DataFrame) -> DataFrame:
+    """Self-join on doc_sha → (conv_id_a < conv_id_b, score=100, method='exact')."""
+    left = docs.select(F.col("conv_id").alias("conv_id_a"), F.col("doc_sha").alias("sha"))
+    right = docs.select(F.col("conv_id").alias("conv_id_b"), F.col("doc_sha").alias("sha"))
+    return (
+        left.join(right, "sha", "inner")
+        .where(F.col("conv_id_a") < F.col("conv_id_b"))
+        .select("conv_id_a", "conv_id_b", F.lit(100.0).alias("score"), F.lit("exact").alias("method"))
+    )
+
+
+def fuzzy_edges(candidates: DataFrame, docs: DataFrame, exact: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Score LSH candidates that were not already exact matches.
+
+    candidates(conv_id_a, conv_id_b) × docs(conv_id, norm_text) →
+    (conv_id_a, conv_id_b, score, method='fuzzy') with
+    ratio > cfg.ratio_threshold (strict, database.py:396).
+    """
+    cand = candidates.join(exact.select("conv_id_a", "conv_id_b"), ["conv_id_a", "conv_id_b"], "left_anti")
+    texts = docs.select("conv_id", "norm_text")
+    scored = (
+        cand.join(texts.withColumnRenamed("conv_id", "conv_id_a").withColumnRenamed("norm_text", "text_a"), "conv_id_a")
+        .join(texts.withColumnRenamed("conv_id", "conv_id_b").withColumnRenamed("norm_text", "text_b"), "conv_id_b")
+        .withColumn("ratio", difflib_ratio(F.col("text_a"), F.col("text_b")))
+    )
+    return scored.where(F.col("ratio") > F.lit(cfg.ratio_threshold)).select(
+        "conv_id_a",
+        "conv_id_b",
+        (F.col("ratio") * 100.0).alias("score"),
+        F.lit("fuzzy").alias("method"),
+    )
+
+
+def match_edges(docs: DataFrame, candidates: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Union of match strategies (U1, database.py:379-405): exact ∪ fuzzy."""
+    exact = exact_edges(docs)
+    fuzzy = fuzzy_edges(candidates, docs, exact, cfg)
+    return exact.unionByName(fuzzy)

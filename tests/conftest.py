@@ -1,0 +1,17 @@
+from __future__ import annotations
+
+import pytest
+
+from repostcheckerbot_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="rcb_tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        extra_conf={"spark.driver.memory": "4g"},
+    )
+    yield s
+    s.stop()

@@ -1,0 +1,102 @@
+"""Incremental mode: identity skip, cross-batch matching, retention sweep,
+tombstone purge, idempotent re-sweep (reference ST4/ST5)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from repostcheckerbot_spark.config import PipelineConfig
+from repostcheckerbot_spark.operators.ingest import IncrementalPipeline
+from repostcheckerbot_spark.sinks.state import Warehouse
+
+TS = datetime(2024, 1, 1)
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+
+def _conv(conv_id, text_parts, tool="web", ts=TS):
+    return [
+        (conv_id, i, "user" if i % 2 == 0 else "assistant", t, tool, ts + timedelta(seconds=i))
+        for i, t in enumerate(text_parts)
+    ]
+
+
+@pytest.fixture()
+def pipe(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    return IncrementalPipeline(wh, PipelineConfig())
+
+
+BASE = ["hello there this is a long conversation about spark " * 3, "and here is the assistant reply with details " * 3]
+
+
+def test_cross_batch_exact_match_and_identity_skip(spark, pipe):
+    b1 = _turns(spark, _conv("c_orig", BASE))
+    r1 = pipe.process_batch(b1)
+    assert r1["new_edges"].count() == 0
+
+    # batch 2: exact repost + a re-send of c_orig (must be identity-skipped)
+    b2 = _turns(spark, _conv("c_repost", BASE, ts=TS + timedelta(days=1)) + _conv("c_orig", BASE))
+    r2 = pipe.process_batch(b2)
+    assert r2["batch_docs"].count() == 1  # c_orig skipped (J1)
+    edges = r2["new_edges"].collect()
+    assert len(edges) == 1
+    e = edges[0]
+    assert (e.conv_id_a, e.conv_id_b, e.score, e.method) == ("c_orig", "c_repost", 100.0, "exact")
+    clusters = {r.conv_id: r.cluster_id for r in r2["clusters"].collect()}
+    assert clusters == {"c_orig": "c_orig", "c_repost": "c_orig"}
+
+
+def test_cross_batch_fuzzy_match(spark, pipe):
+    pipe.process_batch(_turns(spark, _conv("c_a", BASE)))
+    mutated = [BASE[0], "a completely different second turn with fresh content " * 3]
+    r = pipe.process_batch(_turns(spark, _conv("c_b", mutated, ts=TS + timedelta(days=2))))
+    edges = r["new_edges"].collect()
+    assert len(edges) == 1
+    assert edges[0].method == "fuzzy" and 50.0 < edges[0].score < 100.0
+
+
+def test_reprocessing_same_batch_is_idempotent(spark, pipe):
+    b = _turns(spark, _conv("c_x", BASE) + _conv("c_y", BASE, ts=TS + timedelta(hours=1)))
+    r1 = pipe.process_batch(b)
+    n_edges = r1["edges"].count()
+    n_docs = pipe.corpus_docs().count()
+    r2 = pipe.process_batch(b)  # re-sweep (ST5): nothing changes
+    assert r2["batch_docs"].count() == 0
+    assert r2["edges"].count() == n_edges
+    assert pipe.corpus_docs().count() == n_docs
+
+
+def test_tombstone_purge_and_edge_exclusion(spark, pipe):
+    pipe.process_batch(_turns(spark, _conv("c_dead", BASE)))
+    tomb = spark.createDataFrame([("c_dead",)], ["conv_id"])
+    r = pipe.process_batch(
+        _turns(spark, _conv("c_new", BASE, ts=TS + timedelta(days=1))), tombstones=tomb
+    )
+    assert r["new_edges"].count() == 0  # J5: match suppressed
+    pipe.purge_deleted(tomb)
+    assert pipe.corpus_docs().where(F.col("conv_id") == "c_dead").count() == 0
+
+
+def test_retention_sweep(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh2"))
+    pipe = IncrementalPipeline(wh, PipelineConfig(retention_days=30))
+    old = _conv("c_old", BASE, ts=TS)
+    new = _conv("c_new", ["fresh content entirely unrelated " * 4], ts=TS + timedelta(days=100))
+    now = F.to_timestamp(F.lit((TS + timedelta(days=100)).strftime("%Y-%m-%d %H:%M:%S")))
+    # ingest gate drops c_old at arrival when it is already stale
+    r = pipe.process_batch(_turns(spark, old + new), now=now)
+    assert {x.conv_id for x in r["batch_docs"].collect()} == {"c_new"}
+    # stored rows age out via the sweep
+    pipe2 = IncrementalPipeline(Warehouse(spark, str(tmp_path / "wh3")), PipelineConfig(retention_days=30))
+    pipe2.process_batch(_turns(spark, old), now=F.to_timestamp(F.lit("2024-01-02 00:00:00")))
+    assert pipe2.corpus_docs().count() == 1
+    n = pipe2.retention_sweep(now=now)
+    assert n == 1 and pipe2.corpus_docs().count() == 0
