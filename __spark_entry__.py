@@ -1,38 +1,647 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship: full entity-resolution pipeline (assembly →
+                     MinHash-LSH blocking → difflib scoring → star-contraction
+                     clustering) over transcripts derived deterministically
+                     from the sf0.001 ``documents`` table.
+``queries()``      — one entry per implemented operator (SURVEY.md §2 plus the
+                     training-data-pipeline extensions).
+``oracle_sql()``   — DuckDB-executable ANSI SQL stating the IDENTICAL formula
+                     for every SQL-expressible query (portable hashes: md5;
+                     floats rounded identically on both sides). Non-SQL ops
+                     (difflib scoring, xxhash LSH, iterative CC) have no
+                     oracle entry → rows-only check, by design.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from repostcheckerbot_spark.config import PipelineConfig
+from repostcheckerbot_spark.operators import dedup_docs, similarity, textstats
+from repostcheckerbot_spark.pipeline import run_batch
+from repostcheckerbot_spark.sources.testdata import load, transcripts_from_documents
+
+PLACEHOLDERS = ("&#x200B;", "", "[removed]", "[deleted]")
 
 
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: repost clusters over derived
+    transcripts. Returns (conv_id, cluster_id, cluster_size) for clustered
+    conversations (size > 1 = detected repost groups)."""
+    transcripts = transcripts_from_documents(spark, "/root/testdata/sf0.001")
+    res = run_batch(transcripts, PipelineConfig())
+    sizes = res.clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return res.clusters.join(sizes, "cluster_id").select("conv_id", "cluster_id", "cluster_size")
+
+
+# --------------------------------------------------------------------------
+# queries — each (spark, sf_dir) -> DataFrame
+# --------------------------------------------------------------------------
+def _q_exact_dup_edges(spark, sf):
+    docs = dedup_docs.normalized(load(spark, sf, "documents")).withColumn("h", F.md5("norm_text"))
+    a = docs.select(F.col("doc_id").alias("doc_id_a"), "h")
+    b = docs.select(F.col("doc_id").alias("doc_id_b"), "h")
+    return (
+        a.join(b, "h")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", F.lit(100.0).cast("double").alias("score"))
+    )
+
+
+def _q_exact_dedup_groups(spark, sf):
+    return dedup_docs.exact_dedup_groups(load(spark, sf, "documents"))
+
+
+def _q_dedup_keep_first(spark, sf):
+    return dedup_docs.exact_dedup_keep_first(load(spark, sf, "documents")).select("doc_id")
+
+
+def _q_placeholder_filter_counts(spark, sf):
+    d = load(spark, sf, "documents")
+    return (
+        d.where(~F.col("text").isin(*PLACEHOLDERS) & F.col("text").isNotNull())
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _q_minhash_signatures(spark, sf):
+    return dedup_docs.minhash_md5(load(spark, sf, "documents"), k=5, num_hashes=8).select(
+        "doc_id", F.col("seed").cast("int").alias("seed"), "minhash"
+    )
+
+
+def _q_lsh_candidates(spark, sf):
+    return dedup_docs.lsh_candidates_md5(load(spark, sf, "documents"), k=5, bands=4, rows_per_band=2)
+
+
+def _q_ngram_jaccard(spark, sf):
+    return dedup_docs.ngram_jaccard_pairs(load(spark, sf, "documents"), k=5, min_jaccard=0.3)
+
+
+def _q_simhash(spark, sf):
+    return dedup_docs.simhash64(load(spark, sf, "documents"))
+
+
+def _q_simhash_near_pairs(spark, sf):
+    return dedup_docs.simhash_near_pairs(load(spark, sf, "documents"), max_hamming=8).select(
+        "doc_id_a", "doc_id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _q_token_stats(spark, sf):
+    d = textstats.with_token_stats(load(spark, sf, "documents"))
+    return d.select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("int").alias("n_ws_tokens"),
+        F.col("n_subtokens").cast("int").alias("n_subtokens"),
+    )
+
+
+def _q_quality_scores(spark, sf):
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", textstats.quality_score(F.col("text")).alias("quality_millionths"))
+
+
+def _q_lang_id_counts(spark, sf):
+    d = load(spark, sf, "documents")
+    return d.select(textstats.lang_id(F.col("text")).alias("lang_pred")).groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def _q_doc_fingerprints(spark, sf):
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", textstats.doc_fingerprint(F.col("text"), k=8).alias("fingerprint"))
+
+
+def _q_q1_pricing_summary(spark, sf):
+    li = load(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_top_orders_by_revenue(spark, sf):
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders")
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .join(o.select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"), "l_orderkey")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select(F.col("l_orderkey").alias("o_orderkey"), "o_orderdate", "revenue", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def _q_customer_with_orders(spark, sf):
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def _q_customer_without_orders(spark, sf):
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def _q_orders_month_delta(spark, sf):
+    from repostcheckerbot_spark.functions.timeutil import month_delta
+
+    o = load(spark, sf, "orders")
+    return (
+        o.withColumn("delta_months", month_delta(F.col("o_orderdate"), F.to_date(F.lit("2000-01-01"))))
+        .groupBy("delta_months")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def _q_events_retention(spark, sf):
+    # parquet ts is TIMESTAMP_NTZ; cast to session-tz timestamp (UTC) so the
+    # epoch arithmetic matches DuckDB's naive epoch()
+    e = load(spark, sf, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    mx = e.agg(F.max("ts").alias("max_ts"))
+    return (
+        e.crossJoin(mx)
+        .where(
+            F.floor((F.col("max_ts").cast("long") - F.col("ts").cast("long")) / 86400) <= 30
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def _q_events_ts_buckets(spark, sf):
+    e = load(spark, sf, "events")
+    return (
+        e.withColumn("bucket_day", F.date_trunc("day", F.col("ts")).cast("date"))
+        .groupBy("bucket_day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def _q_newest_events(spark, sf):
+    e = load(spark, sf, "events")
+    return e.orderBy(F.desc("ts"), F.asc("event_id")).select("event_id", "user_id", "event_type").limit(50)
+
+
+def _q_first_event_per_user(spark, sf):
+    e = load(spark, sf, "events")
+    return e.groupBy("user_id").agg(F.min("ts").alias("first_ts"), F.count(F.lit(1)).alias("n_events"))
+
+
+def _q_union_match_strategies(spark, sf):
+    exact = _q_exact_dup_edges(spark, sf).select("doc_id_a", "doc_id_b").withColumn("method", F.lit("exact"))
+    fuzzy = (
+        dedup_docs.ngram_jaccard_pairs(load(spark, sf, "documents"), k=5, min_jaccard=0.9)
+        .select("doc_id_a", "doc_id_b")
+        .join(exact.select("doc_id_a", "doc_id_b"), ["doc_id_a", "doc_id_b"], "left_anti")
+        .withColumn("method", F.lit("fuzzy"))
+    )
+    return exact.unionByName(fuzzy)
+
+
+def _q_events_except_error_users(spark, sf):
+    e = load(spark, sf, "events")
+    err_users = e.where(F.col("event_type") == "error").select("user_id")
+    return e.join(err_users, "user_id", "left_anti").select("event_id")
+
+
+def _q_time_ago_render(spark, sf):
+    from repostcheckerbot_spark.functions.timeutil import time_ago
+
+    e = load(spark, sf, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    mx = e.agg(F.max("ts").alias("max_ts"))
+    return e.crossJoin(mx).select("event_id", time_ago(F.col("ts"), F.col("max_ts")).alias("age_text"))
+
+
+def _q_cosine_pairs(spark, sf):
+    emb = load(spark, sf, "embeddings").withColumn(
+        "v", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    probes = emb.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("probe_id"), F.col("v").alias("pv"))
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), F.col("v").alias("cv"))
+    scored = (
+        corpus.join(F.broadcast(probes), F.col("probe_id") != F.col("corpus_id"))
+        .withColumn("cos", F.round(similarity.cosine(F.col("pv"), F.col("cv")), 6))
+        .where(F.col("cos") >= 0.25)
+    )
+    return scored.select("probe_id", "corpus_id", "cos")
+
+
+def _q_cosine_topk_bruteforce(spark, sf):
+    emb = load(spark, sf, "embeddings").withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    probes = emb.where(F.col("vec_id") < 10)
+    return similarity.cosine_topk_bruteforce(emb, probes, k=5)
+
+
+def _q_cosine_topk_lsh(spark, sf):
+    emb = load(spark, sf, "embeddings").withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    probes = emb.where(F.col("vec_id") < 10)
+    planes = similarity.make_planes(dim=64, n_planes=8, seed=42)
+    return similarity.cosine_topk_lsh(emb, probes, planes, k=5)
+
+
+def _q_transcripts_doc_assembly(spark, sf):
+    from repostcheckerbot_spark.operators.assembly import assemble_docs
+
+    tr = transcripts_from_documents(spark, sf).where(F.col("conv_id").startswith("c"))
+    docs = assemble_docs(tr)
+    return docs.select(
+        "conv_id", F.md5("norm_text").alias("doc_md5"), F.col("n_turns").cast("int").alias("n_turns")
+    )
+
+
+def _q_transcripts_flagship_clusters(spark, sf):
+    tr = transcripts_from_documents(spark, sf)
+    res = run_batch(tr, PipelineConfig())
+    return res.clusters
+
+
+def _q_transcripts_exact_clusters(spark, sf):
+    """Exact-duplicate clusters over derived transcripts (the reference's
+    100%-score path): cluster = min conv_id per identical normalized doc."""
+    from repostcheckerbot_spark.operators.assembly import assemble_docs
+
+    docs = assemble_docs(transcripts_from_documents(spark, sf))
+    reps = docs.groupBy("doc_sha").agg(F.min("conv_id").alias("cluster_id"))
+    return docs.join(reps, "doc_sha").select("conv_id", "cluster_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "exact_dup_edges": _q_exact_dup_edges,
+        "exact_dedup_groups": _q_exact_dedup_groups,
+        "dedup_keep_first": _q_dedup_keep_first,
+        "placeholder_filter_counts": _q_placeholder_filter_counts,
+        "minhash_signatures": _q_minhash_signatures,
+        "lsh_candidates": _q_lsh_candidates,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash": _q_simhash,
+        "simhash_near_pairs": _q_simhash_near_pairs,
+        "token_stats": _q_token_stats,
+        "quality_scores": _q_quality_scores,
+        "lang_id_counts": _q_lang_id_counts,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "top_orders_by_revenue": _q_top_orders_by_revenue,
+        "customer_with_orders": _q_customer_with_orders,
+        "customer_without_orders": _q_customer_without_orders,
+        "orders_month_delta": _q_orders_month_delta,
+        "events_retention": _q_events_retention,
+        "events_ts_buckets": _q_events_ts_buckets,
+        "newest_events": _q_newest_events,
+        "first_event_per_user": _q_first_event_per_user,
+        "union_match_strategies": _q_union_match_strategies,
+        "events_except_error_users": _q_events_except_error_users,
+        "time_ago_render": _q_time_ago_render,
+        "cosine_pairs": _q_cosine_pairs,
+        "cosine_topk_bruteforce": _q_cosine_topk_bruteforce,
+        "cosine_topk_lsh": _q_cosine_topk_lsh,
+        "transcripts_doc_assembly": _q_transcripts_doc_assembly,
+        "transcripts_flagship_clusters": _q_transcripts_flagship_clusters,
+        "transcripts_exact_clusters": _q_transcripts_exact_clusters,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracles (DuckDB SQL, identical formulas; md5 = the portable hash)
+# --------------------------------------------------------------------------
+_NORM = r"regexp_replace(text, '\s+', '', 'g')"
+
+_SHINGLE5 = f"""
+norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+sh AS (
+  SELECT doc_id, substr(t, CAST(i AS INT), 5) AS s
+  FROM norm, unnest(range(1, greatest(length(t) - 4, 1) + 1)) u(i)
+)
+"""
+
+_TRANSCRIPT_BASE_CTE = """
+words AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+turns AS (
+  SELECT doc_id, source, CAST(i AS INT) AS turn_idx,
+         array_to_string(w[(CAST(i AS INT) * 8 + 1):(CAST(i AS INT) * 8 + 8)], ' ') AS turn_text
+  FROM words,
+       unnest(range(0, greatest(CAST(ceil(len(w) / 8.0) AS INT), 1))) u(i)
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dup_edges": f"""
+            WITH n AS (SELECT doc_id, md5({_NORM}) AS h FROM documents)
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(100.0 AS DOUBLE) AS score
+            FROM n a JOIN n b ON a.h = b.h AND a.doc_id < b.doc_id
+        """,
+        "exact_dedup_groups": f"""
+            SELECT md5({_NORM}) AS content_md5, count(*) AS n_dups, min(doc_id) AS keeper_doc_id
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_keep_first": f"""
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM})
+        """,
+        "placeholder_filter_counts": """
+            SELECT source, count(*) AS n_docs FROM documents
+            WHERE text IS NOT NULL AND text NOT IN ('&#x200B;', '', '[removed]', '[deleted]')
+            GROUP BY source
+        """,
+        "minhash_signatures": f"""
+            WITH {_SHINGLE5}, seeds AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS seed)
+            SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || s)) AS minhash
+            FROM sh, seeds GROUP BY doc_id, seed
+        """,
+        "lsh_candidates": f"""
+            WITH {_SHINGLE5}, seeds AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS seed),
+            sig AS (
+              SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || s)) AS minhash
+              FROM sh, seeds GROUP BY doc_id, seed
+            ),
+            banded AS (
+              SELECT doc_id, seed // 2 AS band_id,
+                     md5(string_agg(minhash, ',' ORDER BY minhash)) AS band_hash
+              FROM sig GROUP BY doc_id, seed // 2
+            )
+            SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+            FROM banded a JOIN banded b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        """,
+        "ngram_jaccard": f"""
+            WITH {_SHINGLE5},
+            dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_i
+              FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.doc_id_a, i.doc_id_b,
+                   CAST(round(CAST(n_i AS DOUBLE) / (sa.n_sh + sb.n_sh - n_i), 6) AS DOUBLE) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_id_a
+            JOIN sizes sb ON sb.doc_id = i.doc_id_b
+            WHERE CAST(round(CAST(n_i AS DOUBLE) / (sa.n_sh + sb.n_sh - n_i), 6) AS DOUBLE) >= 0.3
+        """,
+        "simhash": """
+            WITH toks AS (
+              SELECT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+                FROM documents
+              ) WHERE length(tok) > 0
+            ),
+            h AS (SELECT doc_id, md5(tok) AS m FROM toks),
+            bits AS (
+              SELECT doc_id, CAST(b AS INT) AS b,
+                     ((strpos('0123456789abcdef', substr(m, 1 + CAST(b AS INT) // 4, 1)) - 1)
+                      // CAST(pow(2, CAST(b AS INT) % 4) AS INT)) % 2 AS v
+              FROM h, unnest(range(0, 64)) u(b)
+            ),
+            votes AS (SELECT doc_id, b, sum(2 * v - 1) AS s FROM bits GROUP BY doc_id, b),
+            bv AS (SELECT doc_id, b, CASE WHEN s > 0 THEN 1 ELSE 0 END AS bit FROM votes)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN b >= 32 THEN bit * CAST(pow(2, b - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS sim_hi,
+                   CAST(sum(CASE WHEN b < 32 THEN bit * CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sim_lo
+            FROM bv GROUP BY doc_id
+        """,
+        "simhash_near_pairs": """
+            WITH toks AS (
+              SELECT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+                FROM documents
+              ) WHERE length(tok) > 0
+            ),
+            h AS (SELECT doc_id, md5(tok) AS m FROM toks),
+            bits AS (
+              SELECT doc_id, CAST(b AS INT) AS b,
+                     ((strpos('0123456789abcdef', substr(m, 1 + CAST(b AS INT) // 4, 1)) - 1)
+                      // CAST(pow(2, CAST(b AS INT) % 4) AS INT)) % 2 AS v
+              FROM h, unnest(range(0, 64)) u(b)
+            ),
+            votes AS (SELECT doc_id, b, sum(2 * v - 1) AS s FROM bits GROUP BY doc_id, b),
+            bv AS (SELECT doc_id, b, CASE WHEN s > 0 THEN 1 ELSE 0 END AS bit FROM votes),
+            sim AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN b >= 32 THEN bit * CAST(pow(2, b - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS sim_hi,
+                     CAST(sum(CASE WHEN b < 32 THEN bit * CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sim_lo
+              FROM bv GROUP BY doc_id
+            )
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   CAST(bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) AS INT) AS hamming
+            FROM sim a JOIN sim b
+              ON (a.sim_hi = b.sim_hi OR a.sim_lo = b.sim_lo) AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) < 8
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT) AS n_subtokens
+            FROM documents
+        """,
+        "quality_scores": """
+            WITH base AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+                     string_split_regex(lower(trim(text)), '\\s+') AS words
+              FROM documents
+            ),
+            stats AS (
+              SELECT doc_id, n_chars, n_punct, len(words) AS n_words,
+                     len(list_filter(words, x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) AS n_stop
+              FROM base
+            )
+            SELECT doc_id,
+                   CAST(floor((
+                     0.4 * least(n_chars / 500.0, 1.0)
+                   + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END)
+                   + 0.3 * least(CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END * 5.0, 1.0)
+                   ) * 1000000) AS BIGINT) AS quality_millionths
+            FROM stats
+        """,
+        "lang_id_counts": """
+            WITH base AS (
+              SELECT string_split_regex(lower(trim(text)), '\\s+') AS words FROM documents
+            ),
+            stats AS (
+              SELECT len(words) AS n_words,
+                     len(list_filter(words, x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) AS n_stop
+              FROM base
+            )
+            SELECT CASE WHEN n_words > 0 AND CAST(n_stop AS DOUBLE) / n_words >= 0.08
+                        THEN 'en' ELSE 'unk' END AS lang_pred,
+                   count(*) AS n_docs
+            FROM stats GROUP BY 1
+        """,
+        "doc_fingerprints": f"""
+            WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+            sh AS (
+              SELECT doc_id, md5(substr(t, CAST(i AS INT), 8)) AS m
+              FROM norm, unnest(range(1, greatest(length(t) - 7, 1) + 1)) u(i)
+            )
+            SELECT doc_id, min(m) AS fingerprint FROM sh GROUP BY doc_id
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+                   CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
+                   CAST(round(avg(l_quantity), 2) AS DOUBLE) AS avg_qty,
+                   CAST(round(avg(l_extendedprice), 2) AS DOUBLE) AS avg_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders_by_revenue": """
+            WITH rev AS (
+              SELECT l_orderkey,
+                     CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+              FROM lineitem GROUP BY l_orderkey
+            ),
+            ranked AS (
+              SELECT o.o_orderkey, o.o_orderdate, r.revenue,
+                     CAST(row_number() OVER (ORDER BY r.revenue DESC, o.o_orderkey) AS INT) AS rnk
+              FROM rev r JOIN orders o ON o.o_orderkey = r.l_orderkey
+            )
+            SELECT o_orderkey, o_orderdate, revenue, rnk FROM ranked WHERE rnk <= 10
+        """,
+        "customer_with_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "customer_without_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "orders_month_delta": """
+            SELECT CAST((2000 - year(o_orderdate)) * 12 + (1 - month(o_orderdate))
+                   - CASE WHEN 1 < day(o_orderdate) THEN 1 ELSE 0 END AS INT) AS delta_months,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        "events_retention": """
+            WITH mx AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS m FROM events)
+            SELECT event_type, count(*) AS n_events
+            FROM events, mx
+            WHERE floor((m - CAST(floor(epoch(ts)) AS BIGINT)) / 86400.0) <= 30
+            GROUP BY event_type
+        """,
+        "events_ts_buckets": """
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket_day, event_type, count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "newest_events": """
+            SELECT event_id, user_id, event_type FROM events
+            ORDER BY ts DESC, event_id ASC LIMIT 50
+        """,
+        "first_event_per_user": """
+            SELECT user_id, min(ts) AS first_ts, count(*) AS n_events FROM events GROUP BY user_id
+        """,
+        "union_match_strategies": f"""
+            WITH n AS (SELECT doc_id, md5({_NORM}) AS h FROM documents),
+            exact AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+              FROM n a JOIN n b ON a.h = b.h AND a.doc_id < b.doc_id
+            ),
+            {_SHINGLE5.strip().lstrip()},
+            dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_i
+              FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+            ),
+            fuzzy AS (
+              SELECT i.doc_id_a, i.doc_id_b FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.doc_id_a
+              JOIN sizes sb ON sb.doc_id = i.doc_id_b
+              WHERE CAST(round(CAST(n_i AS DOUBLE) / (sa.n_sh + sb.n_sh - n_i), 6) AS DOUBLE) >= 0.9
+                AND NOT EXISTS (
+                  SELECT 1 FROM exact e WHERE e.doc_id_a = i.doc_id_a AND e.doc_id_b = i.doc_id_b
+                )
+            )
+            SELECT doc_id_a, doc_id_b, 'exact' AS method FROM exact
+            UNION ALL
+            SELECT doc_id_a, doc_id_b, 'fuzzy' AS method FROM fuzzy
+        """,
+        "events_except_error_users": """
+            SELECT event_id FROM events e
+            WHERE NOT EXISTS (
+              SELECT 1 FROM events x WHERE x.user_id = e.user_id AND x.event_type = 'error'
+            )
+        """,
+        "time_ago_render": """
+            WITH mx AS (SELECT max(ts) AS mts FROM events),
+            d AS (
+              SELECT event_id, ts, mts,
+                     CAST(floor(epoch(mts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) AS secs,
+                     (year(mts) - year(ts)) * 12 + (month(mts) - month(ts))
+                       - CASE WHEN day(mts) < day(ts) THEN 1 ELSE 0 END AS months
+              FROM events, mx
+            )
+            SELECT event_id,
+                   CASE
+                     WHEN months >= 1 THEN CAST(months AS VARCHAR) || ' months ago'
+                     WHEN secs // 86400 >= 1 THEN CAST(secs // 86400 AS VARCHAR) || ' days ago'
+                     WHEN secs // 3600 >= 1 THEN CAST(secs // 3600 AS VARCHAR) || ' hours ago'
+                     WHEN secs // 60 >= 1 THEN CAST(secs // 60 AS VARCHAR) || ' minutes ago'
+                     ELSE CAST(secs AS VARCHAR) || ' seconds ago'
+                   END AS age_text
+            FROM d
+        """,
+        "cosine_pairs": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            scored AS (
+              SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+                     CAST(round(
+                       list_dot_product(p.v, c.v)
+                       / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v)))
+                     , 6) AS DOUBLE) AS cos
+              FROM e p JOIN e c ON p.vec_id < 20 AND c.vec_id <> p.vec_id
+            )
+            SELECT probe_id, corpus_id, cos FROM scored WHERE cos >= 0.25
+        """,
+        "transcripts_doc_assembly": f"""
+            WITH {_TRANSCRIPT_BASE_CTE.strip()}
+            SELECT 'c' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+                   md5(regexp_replace(string_agg(turn_text, chr(10) ORDER BY turn_idx), '\\s+', '', 'g')) AS doc_md5,
+                   CAST(count(*) AS INT) AS n_turns
+            FROM turns
+            WHERE turn_text NOT IN ('&#x200B;', '', '[removed]', '[deleted]')
+            GROUP BY doc_id
+        """,
+        # transcripts_flagship_clusters / transcripts_exact_clusters /
+        # cosine_topk_* : non-SQL-expressible (difflib, xxhash LSH, iterative
+        # CC, tie-sensitive top-k) → rows-only checks.
+    }

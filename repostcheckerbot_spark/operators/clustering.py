@@ -87,6 +87,12 @@ def connected_components(
         F.col("src") != F.col("dst")
     ).distinct()
     e = e.localCheckpoint(eager=True)
+    # edge sets are typically tiny relative to the corpus (only matched
+    # pairs); right-size partitions so each of the O(log n) rounds doesn't
+    # pay a full-width shuffle of near-empty tasks.
+    n_edges = e.count()
+    parts = max(1, min(e.sparkSession.sparkContext.defaultParallelism, n_edges // 20_000 + 1))
+    e = e.repartition(parts)
 
     prev_sig = None
     for it in range(max_iterations):

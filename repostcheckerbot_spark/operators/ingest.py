@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from repostcheckerbot_spark.config import PipelineConfig
 from repostcheckerbot_spark.operators.assembly import assemble_docs
-from repostcheckerbot_spark.operators.blocking import with_bands, with_minhash, with_shingles
+from repostcheckerbot_spark.operators.blocking import with_bands, with_signature
 from repostcheckerbot_spark.operators.clustering import connected_components
 from repostcheckerbot_spark.operators.retention import apply_ingest_gate, within_retention
 from repostcheckerbot_spark.operators.scoring import difflib_ratio
@@ -80,7 +80,8 @@ class IncrementalPipeline:
         batch_docs = batch_docs.localCheckpoint(eager=True)
         metrics.record_count("ingest.batch_docs", batch_docs.count())
 
-        banded = with_bands(with_minhash(with_shingles(batch_docs, cfg), cfg), cfg)
+        sig = with_signature(batch_docs, cfg).select(*cfg.block_cols, "conv_id", "minhash")
+        banded = with_bands(sig, cfg)
         key = [*cfg.block_cols, "band_id", "band_hash"]
         batch_bands = banded.select(*key, "conv_id").localCheckpoint(eager=True)
 
@@ -116,10 +117,14 @@ class IncrementalPipeline:
         texts = batch_docs.select("conv_id", "norm_text")
         if corpus is not None:
             texts = corpus.select("conv_id", "norm_text").unionByName(texts)
-        fuzzy = (
+        paired = (
             cand.join(texts.withColumnRenamed("conv_id", "conv_id_a").withColumnRenamed("norm_text", "ta"), "conv_id_a")
             .join(texts.withColumnRenamed("conv_id", "conv_id_b").withColumnRenamed("norm_text", "tb"), "conv_id_b")
-            .withColumn("ratio", difflib_ratio(F.col("ta"), F.col("tb")))
+        )
+        # spread the CPU-bound scoring stage (see scoring.fuzzy_edges)
+        paired = paired.repartition(paired.sparkSession.sparkContext.defaultParallelism)
+        fuzzy = (
+            paired.withColumn("ratio", difflib_ratio(F.col("ta"), F.col("tb")))
             .where(F.col("ratio") > F.lit(cfg.ratio_threshold))
             .select(
                 "conv_id_a",

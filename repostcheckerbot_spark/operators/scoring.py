@@ -62,11 +62,15 @@ def fuzzy_edges(candidates: DataFrame, docs: DataFrame, exact: DataFrame, cfg: P
     """
     cand = candidates.join(exact.select("conv_id_a", "conv_id_b"), ["conv_id_a", "conv_id_b"], "left_anti")
     texts = docs.select("conv_id", "norm_text")
-    scored = (
+    paired = (
         cand.join(texts.withColumnRenamed("conv_id", "conv_id_a").withColumnRenamed("norm_text", "text_a"), "conv_id_a")
         .join(texts.withColumnRenamed("conv_id", "conv_id_b").withColumnRenamed("norm_text", "text_b"), "conv_id_b")
-        .withColumn("ratio", difflib_ratio(F.col("text_a"), F.col("text_b")))
     )
+    # The difflib stage is CPU-bound, not size-bound: AQE's size-based
+    # coalescing would pack these (byte-small, cycle-heavy) rows onto 1-2
+    # cores. Spread explicitly to the cluster's full parallelism.
+    paired = paired.repartition(paired.sparkSession.sparkContext.defaultParallelism)
+    scored = paired.withColumn("ratio", difflib_ratio(F.col("text_a"), F.col("text_b")))
     return scored.where(F.col("ratio") > F.lit(cfg.ratio_threshold)).select(
         "conv_id_a",
         "conv_id_b",

@@ -28,17 +28,22 @@ def with_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ws_tokens = F.split(F.trim(t), r"\s+")
     return docs.withColumn(
         "n_ws_tokens", F.when(F.length(F.trim(t)) == 0, 0).otherwise(F.size(ws_tokens))
-    ).withColumn("n_subtokens", F.size(F.regexp_extract_all(t, F.lit(SUBTOKEN_RE))))
+    ).withColumn("n_subtokens", F.size(F.regexp_extract_all(t, F.lit(SUBTOKEN_RE), F.lit(0))))
 
 
 def quality_score(text_col: Column) -> Column:
-    """Heuristic in [0,1]: longer docs, moderate punctuation, healthy stopword
-    ratio score higher. Formula is arbitrary but FROZEN (oracle-shared):
+    """Heuristic score, reported as integer MILLIONTHS of [0,1]: longer docs,
+    moderate punctuation, healthy stopword ratio score higher. Formula is
+    arbitrary but FROZEN (oracle-shared):
 
       0.4·min(n_chars/500, 1) + 0.3·(1 - punct_ratio) + 0.3·min(stop_ratio·5, 1)
+
+    floor(score·1e6) instead of round(score, 6): both engines compute the
+    identical IEEE double, but their ROUND decimal conversions differ at
+    half-boundaries; floor on the same double is engine-independent.
     """
     n_chars = F.length(text_col)
-    n_punct = F.size(F.regexp_extract_all(text_col, F.lit(r"[^a-zA-Z0-9\s]")))
+    n_punct = F.size(F.regexp_extract_all(text_col, F.lit(r"[^a-zA-Z0-9\s]"), F.lit(0)))
     words = F.split(F.lower(F.trim(text_col)), r"\s+")
     n_words = F.size(words)
     n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
@@ -49,7 +54,7 @@ def quality_score(text_col: Column) -> Column:
         + 0.3 * (F.lit(1.0) - punct_ratio)
         + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0))
     )
-    return F.round(score, 6)
+    return F.floor(score * 1000000).cast("long")
 
 
 def lang_id(text_col: Column) -> Column:

@@ -57,7 +57,17 @@ def run_batch(
     t0 = time.monotonic()
 
     docs = assemble_docs(apply_ingest_gate(transcripts, cfg.retention_days, now=now))
+    # signature computation (k-gram + OPH MinHash UDF) is CPU-bound per doc;
+    # AQE's size-based coalescing would stack small-but-heavy doc partitions
+    # onto few cores — spread explicitly, keyed by conv_id.
+    docs = docs.repartition(transcripts.sparkSession.sparkContext.defaultParallelism, "conv_id")
+    # docs feeds 4 downstream consumers (signatures, exact join, fuzzy text
+    # lookup ×2, CC vertices); checkpoint once instead of recomputing the
+    # assembly groupBy per consumer. On a cluster this is the Iceberg
+    # stage-table write; locally an eager in-memory checkpoint.
+    docs = docs.localCheckpoint(eager=True)
     candidates, bucket_metrics = generate_candidates(docs, cfg)
+    candidates = candidates.localCheckpoint(eager=True)
     edges = match_edges(docs, candidates, cfg)
 
     if tombstones is not None:
@@ -65,6 +75,9 @@ def run_batch(
         edges = edges.join(
             dead.withColumnRenamed("conv_id", "conv_id_a"), "conv_id_a", "left_anti"
         ).join(dead.withColumnRenamed("conv_id", "conv_id_b"), "conv_id_b", "left_anti")
+    # edges feed both CC and the caller; checkpoint so the difflib scoring
+    # stage runs exactly once however many consumers follow.
+    edges = edges.localCheckpoint(eager=True)
 
     clusters = connected_components(
         edges,

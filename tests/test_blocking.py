@@ -15,7 +15,8 @@ CFG = PipelineConfig()
 
 def _docs(spark, texts: list[str]):
     return spark.createDataFrame(
-        [(f"c{i}", t, "tool_x") for i, t in enumerate(texts)], ["conv_id", "norm_text", "tool"]
+        [(f"c{i}", t, "tool_x", 0) for i, t in enumerate(texts)],
+        ["conv_id", "norm_text", "tool", "role_sig"],
     )
 
 
@@ -60,7 +61,8 @@ def test_candidates_only_within_block(spark):
     subreddit, database.py:26-35)."""
     texts = ["the same exact text here " * 5] * 2
     df = spark.createDataFrame(
-        [("a", texts[0], "tool_1"), ("b", texts[1], "tool_2")], ["conv_id", "norm_text", "tool"]
+        [("a", texts[0], "tool_1", 0), ("b", texts[1], "tool_2", 0)],
+        ["conv_id", "norm_text", "tool", "role_sig"],
     )
     cands, _ = generate_candidates(df, CFG)
     assert cands.count() == 0
