@@ -271,6 +271,54 @@ def _q_cosine_topk_lsh(spark, sf):
     return similarity.cosine_topk_lsh(emb, probes, planes, k=5)
 
 
+def _q_doc_routing(spark, sf):
+    """Content-type dispatch predicates (P4-P7, database.py:408,496,551,736-742):
+    the reference routes each record by string predicates on its payload/url
+    (gif vs gifv vs png/jpg vs fallback). Same predicate shapes over the
+    documents table."""
+    d = load(spark, sf, "documents")
+    route = (
+        F.when(F.col("text").contains("gif") & ~F.col("text").endswith("gifv") & ~F.col("text").contains("gifs"), "gif")
+        .when(F.col("text").contains("png") | F.col("text").contains("jpg"), "image")
+        .when(F.col("text").contains("video"), "video")
+        .otherwise("text")
+    )
+    return d.select("doc_id", route.alias("route"))
+
+
+def _q_props_json_extract(spark, sf):
+    """Nested payload access (F18, database.py:408,730 — media['oembed'][...]):
+    events.props is a JSON string; extract $.k and aggregate."""
+    e = load(spark, sf, "events")
+    return (
+        e.withColumn("k_val", F.get_json_object(F.col("props"), "$.k").cast("int"))
+        .groupBy("k_val")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def _q_first_letter_upper(spark, sf):
+    """F14 (database.py:28-34): uppercase the FIRST letter only (not initcap —
+    the reference leaves the rest of the string untouched)."""
+    c = load(spark, sf, "customer")
+    styled = F.concat(F.upper(F.substring(F.col("c_name"), 1, 1)), F.expr("substring(c_name, 2)"))
+    return c.select("c_custkey", styled.alias("styled_name"))
+
+
+def _q_markdown_report_rows(spark, sf):
+    """F15 (app.py:186-199): markdown-table rendering of ranked matches —
+    integer-only formatting so both engines emit identical strings."""
+    top = _q_top_orders_by_revenue(spark, sf)
+    return top.select(
+        F.concat(
+            F.lit("|"), F.col("rnk").cast("string"),
+            F.lit("|["), F.col("o_orderkey").cast("string"),
+            F.lit("](order)|"), F.round(F.col("revenue")).cast("long").cast("string"),
+            F.lit("|"),
+        ).alias("md_row")
+    )
+
+
 def _q_transcripts_doc_assembly(spark, sf):
     from repostcheckerbot_spark.operators.assembly import assemble_docs
 
@@ -324,6 +372,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_match_strategies": _q_union_match_strategies,
         "events_except_error_users": _q_events_except_error_users,
         "time_ago_render": _q_time_ago_render,
+        "doc_routing": _q_doc_routing,
+        "props_json_extract": _q_props_json_extract,
+        "first_letter_upper": _q_first_letter_upper,
+        "markdown_report_rows": _q_markdown_report_rows,
         "cosine_pairs": _q_cosine_pairs,
         "cosine_topk_bruteforce": _q_cosine_topk_bruteforce,
         "cosine_topk_lsh": _q_cosine_topk_lsh,
@@ -619,6 +671,39 @@ def oracle_sql() -> dict[str, str]:
                      ELSE CAST(secs AS VARCHAR) || ' seconds ago'
                    END AS age_text
             FROM d
+        """,
+        "doc_routing": """
+            SELECT doc_id,
+                   CASE
+                     WHEN text LIKE '%gif%' AND text NOT LIKE '%gifv' AND text NOT LIKE '%gifs%' THEN 'gif'
+                     WHEN text LIKE '%png%' OR text LIKE '%jpg%' THEN 'image'
+                     WHEN text LIKE '%video%' THEN 'video'
+                     ELSE 'text'
+                   END AS route
+            FROM documents
+        """,
+        "props_json_extract": """
+            SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_val, count(*) AS n_events
+            FROM events GROUP BY 1
+        """,
+        "first_letter_upper": """
+            SELECT c_custkey, upper(substr(c_name, 1, 1)) || substr(c_name, 2) AS styled_name
+            FROM customer
+        """,
+        "markdown_report_rows": """
+            WITH rev AS (
+              SELECT l_orderkey,
+                     CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+              FROM lineitem GROUP BY l_orderkey
+            ),
+            ranked AS (
+              SELECT o.o_orderkey, r.revenue,
+                     CAST(row_number() OVER (ORDER BY r.revenue DESC, o.o_orderkey) AS INT) AS rnk
+              FROM rev r JOIN orders o ON o.o_orderkey = r.l_orderkey
+            )
+            SELECT '|' || CAST(rnk AS VARCHAR) || '|[' || CAST(o_orderkey AS VARCHAR)
+                   || '](order)|' || CAST(CAST(round(revenue) AS BIGINT) AS VARCHAR) || '|' AS md_row
+            FROM ranked WHERE rnk <= 10
         """,
         "cosine_pairs": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -43,24 +43,50 @@ def difflib_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 def exact_edges(docs: DataFrame) -> DataFrame:
-    """Self-join on doc_sha → (conv_id_a < conv_id_b, score=100, method='exact')."""
-    left = docs.select(F.col("conv_id").alias("conv_id_a"), F.col("doc_sha").alias("sha"))
-    right = docs.select(F.col("conv_id").alias("conv_id_b"), F.col("doc_sha").alias("sha"))
+    """Exact matches as STAR edges: (group-min conv_id, member, 100, 'exact').
+
+    The reference emits one match row per stored copy (database.py:373-388);
+    the naive translation is an all-pairs self-join on doc_sha — quadratic in
+    the duplicate-group size, which at 100 TB is the single worst skew bomb
+    (one viral/spam document with 10⁶ copies ⇒ 5·10¹¹ rows). A star per sha
+    group is linear, produces the identical connected components, and the
+    group membership itself (same doc_sha ⇒ duplicate, score 100) remains a
+    constant-time lookup — pairwise verdicts for ANY in-group pair are
+    recoverable without materializing the pair.
+    """
+    reps = docs.groupBy("doc_sha").agg(F.min("conv_id").alias("rep"))
     return (
-        left.join(right, "sha", "inner")
-        .where(F.col("conv_id_a") < F.col("conv_id_b"))
-        .select("conv_id_a", "conv_id_b", F.lit(100.0).alias("score"), F.lit("exact").alias("method"))
+        docs.join(reps, "doc_sha")
+        .where(F.col("conv_id") != F.col("rep"))
+        .select(
+            F.col("rep").alias("conv_id_a"),
+            F.col("conv_id").alias("conv_id_b"),
+            F.lit(100.0).alias("score"),
+            F.lit("exact").alias("method"),
+        )
     )
 
 
-def fuzzy_edges(candidates: DataFrame, docs: DataFrame, exact: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def fuzzy_edges(candidates: DataFrame, docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Score LSH candidates that were not already exact matches.
 
     candidates(conv_id_a, conv_id_b) × docs(conv_id, norm_text) →
-    (conv_id_a, conv_id_b, score, method='fuzzy') with
+    (conv_id_a, conv_id_b, score, score method='fuzzy') with
     ratio > cfg.ratio_threshold (strict, database.py:396).
+
+    The exact-exclusion (J4, database.py:393) is sha-equality, not an edge
+    anti-join: exact edges are stars (see exact_edges), so two non-rep
+    members of one exact group would otherwise be re-scored here.
     """
-    cand = candidates.join(exact.select("conv_id_a", "conv_id_b"), ["conv_id_a", "conv_id_b"], "left_anti")
+    shas = docs.select("conv_id", "doc_sha")
+    cand = (
+        candidates.join(
+            shas.withColumnRenamed("conv_id", "conv_id_a").withColumnRenamed("doc_sha", "sha_a"), "conv_id_a"
+        )
+        .join(shas.withColumnRenamed("conv_id", "conv_id_b").withColumnRenamed("doc_sha", "sha_b"), "conv_id_b")
+        .where(F.col("sha_a") != F.col("sha_b"))
+        .select("conv_id_a", "conv_id_b")
+    )
     texts = docs.select("conv_id", "norm_text")
     paired = (
         cand.join(texts.withColumnRenamed("conv_id", "conv_id_a").withColumnRenamed("norm_text", "text_a"), "conv_id_a")
@@ -82,5 +108,5 @@ def fuzzy_edges(candidates: DataFrame, docs: DataFrame, exact: DataFrame, cfg: P
 def match_edges(docs: DataFrame, candidates: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Union of match strategies (U1, database.py:379-405): exact ∪ fuzzy."""
     exact = exact_edges(docs)
-    fuzzy = fuzzy_edges(candidates, docs, exact, cfg)
+    fuzzy = fuzzy_edges(candidates, docs, cfg)
     return exact.unionByName(fuzzy)

@@ -23,8 +23,19 @@ def result(spark):
 
 def test_pairwise_f1_at_least_099(spark, result):
     _, _, labeled, _, _, res = result
-    pred = res.edges.select("conv_id_a", "conv_id_b").withColumn("pred", F.lit(True))
-    joined = labeled.join(pred, ["conv_id_a", "conv_id_b"], "left").fillna({"pred": False})
+    # pipeline pairwise verdict for a labeled pair = exact (same doc_sha;
+    # exact edges are stars, group membership IS the pairwise verdict) or a
+    # scored fuzzy/exact edge
+    shas = res.docs.select("conv_id", "doc_sha")
+    edge = res.edges.select("conv_id_a", "conv_id_b").withColumn("has_edge", F.lit(True))
+    joined = (
+        labeled.join(
+            shas.withColumnRenamed("conv_id", "conv_id_a").withColumnRenamed("doc_sha", "sha_a"), "conv_id_a"
+        )
+        .join(shas.withColumnRenamed("conv_id", "conv_id_b").withColumnRenamed("doc_sha", "sha_b"), "conv_id_b")
+        .join(edge, ["conv_id_a", "conv_id_b"], "left")
+        .withColumn("pred", (F.col("sha_a") == F.col("sha_b")) | F.coalesce(F.col("has_edge"), F.lit(False)))
+    )
     agg = joined.agg(
         F.sum(F.when(F.col("is_dup") & F.col("pred"), 1).otherwise(0)).alias("tp"),
         F.sum(F.when(~F.col("is_dup") & F.col("pred"), 1).otherwise(0)).alias("fp"),
@@ -52,9 +63,16 @@ def test_exact_dup_always_scores_100(spark, result):
     exact_pairs = labeled.where(F.col("ratio") == 1.0)
     if exact_pairs.count() == 0:
         pytest.skip("no exact pairs in fixture")
-    joined = exact_pairs.join(res.edges, ["conv_id_a", "conv_id_b"], "inner")
-    assert joined.count() == exact_pairs.count()
-    assert joined.where(F.col("score") != 100.0).count() == 0
+    # every labeled exact pair shares a doc_sha (the group-membership verdict) …
+    shas = res.docs.select("conv_id", "doc_sha")
+    j = (
+        exact_pairs.join(
+            shas.withColumnRenamed("conv_id", "conv_id_a").withColumnRenamed("doc_sha", "sha_a"), "conv_id_a"
+        ).join(shas.withColumnRenamed("conv_id", "conv_id_b").withColumnRenamed("doc_sha", "sha_b"), "conv_id_b")
+    )
+    assert j.where(F.col("sha_a") != F.col("sha_b")).count() == 0
+    # … and every exact star edge carries score 100 (database.py:382)
+    assert res.edges.where((F.col("method") == "exact") & (F.col("score") != 100.0)).count() == 0
 
 
 def test_tombstoned_edges_excluded(spark, result):

@@ -42,14 +42,16 @@ def test_difflib_udf_matches_host_difflib(spark):
     assert got == want
 
 
-def test_exact_edges_score_100_and_canonical_order(spark):
+def test_exact_edges_are_linear_stars(spark):
+    # star per sha group (min conv_id = representative), NOT all-pairs:
+    # quadratic pair explosion on big duplicate groups is the 100TB skew bomb
     docs = spark.createDataFrame(
         [("b", "sha1"), ("a", "sha1"), ("c", "sha2"), ("d", "sha1")],
         ["conv_id", "doc_sha"],
     )
     edges = exact_edges(docs).collect()
     got = {(r.conv_id_a, r.conv_id_b) for r in edges}
-    assert got == {("a", "b"), ("a", "d"), ("b", "d")}
+    assert got == {("a", "b"), ("a", "d")}
     assert all(r.score == 100.0 and r.method == "exact" for r in edges)
 
 
@@ -67,8 +69,7 @@ def test_fuzzy_edges_threshold_strict_and_anti_join(spark):
     cands = spark.createDataFrame(
         [("a", "b"), ("a", "c"), ("a", "d")], ["conv_id_a", "conv_id_b"]
     )
-    exact = exact_edges(docs)
-    fuzzy = fuzzy_edges(cands, docs, exact, CFG).collect()
+    fuzzy = fuzzy_edges(cands, docs, CFG).collect()
     got = {(r.conv_id_a, r.conv_id_b): r for r in fuzzy}
     assert set(got) == {("a", "c")}
     assert abs(got[("a", "c")].score - 60.0) < 1e-9
@@ -84,5 +85,5 @@ def test_boundary_ratio_exactly_half_rejected(spark):
         [("p", a2), ("q", b2)], ["conv_id", "norm_text"]
     ).withColumn("doc_sha", F.sha2("norm_text", 256))
     cands = spark.createDataFrame([("p", "q")], ["conv_id_a", "conv_id_b"])
-    fuzzy = fuzzy_edges(cands, docs, exact_edges(docs), CFG)
+    fuzzy = fuzzy_edges(cands, docs, CFG)
     assert fuzzy.count() == 0
