@@ -20,6 +20,7 @@ algorithms are identical up to the hash function.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -131,38 +132,55 @@ def simhash64(docs: DataFrame) -> DataFrame:
 
     Portable construction (DuckDB states the identical formula): token bit b
     = bit (b mod 4) of the hex digit at position 1 + b//4 of md5(token); the
-    simhash bit is the majority vote over tokens. All integer arithmetic —
-    no engine-specific hash parsing. Emitted as two 32-bit halves
-    (sim_hi, sim_lo) so XOR/bit_count stay in signed-long-safe range.
+    simhash bit is the majority vote over tokens. Emitted as two 32-bit
+    halves (sim_hi, sim_lo) so XOR/bit_count stay in signed-long-safe range.
+
+    Computed in ONE Arrow-batched pandas UDF pass (md5 per token + numpy
+    nibble-unpack + vote matrix). A first cut exploded 64 bit-rows per token
+    through two shuffles — 19M rows and 15 s at sf0.1 for what is ~1 s of
+    vectorized work; the values are bit-identical (hex-digit construction
+    below matches the SQL formula: digest byte → high/low nibble = hex digit,
+    nibble bit (b mod 4) = the SQL's div/pow/mod chain).
     """
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
-    ).where(F.length("tok") > 0)
-    hashed = toks.withColumn("h", F.md5("tok"))
-    bits = hashed.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 63), b -> struct(b as bit,"
-                f" cast((instr('{HEX_DIGITS}', substring(h, 1 + b div 4, 1)) - 1)"
-                " div cast(pow(2, b % 4) as int) % 2 as int) as v))"
-            )
-        ).alias("e"),
-    ).select("doc_id", F.col("e.bit").alias("bit"), (F.col("e.v") * 2 - 1).alias("vote"))
-    return (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("s"))
-        .withColumn("bitval", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("bit") >= 32, F.col("bitval") * F.expr("cast(pow(2, bit - 32) as bigint)")).otherwise(0)
-            ).alias("sim_hi"),
-            F.sum(
-                F.when(F.col("bit") < 32, F.col("bitval") * F.expr("cast(pow(2, bit) as bigint)")).otherwise(0)
-            ).alias("sim_lo"),
-        )
-        .select("doc_id", F.col("sim_hi").cast("long").alias("sim_hi"), F.col("sim_lo").cast("long").alias("sim_lo"))
+    import hashlib
+    import re
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    ws = re.compile(r"\s+")
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        his, los = [], []
+        weights_lo = (1 << np.arange(32, dtype=np.int64))
+        for t in texts:
+            toks = [x for x in ws.split((t or "").lower().strip()) if x]
+            if not toks:
+                his.append(0)
+                los.append(0)
+                continue
+            digests = np.frombuffer(
+                b"".join(hashlib.md5(tok.encode("utf-8")).digest() for tok in toks), dtype=np.uint8
+            ).reshape(len(toks), 16)
+            # hex digit j of the md5 string = high nibble (j even) / low
+            # nibble (j odd) of digest byte j//2; bit b uses digit b//4,
+            # bit position (b % 4) — LSB-first within the digit, matching
+            # (digit div 2^(b%4)) % 2 in the SQL oracle.
+            nibbles = np.empty((len(toks), 32), dtype=np.uint8)
+            nibbles[:, 0::2] = digests >> 4
+            nibbles[:, 1::2] = digests & 0x0F
+            digits = nibbles[:, :16]  # bits 0..63 use hex digits 0..15
+            bits = (digits[:, :, None] >> np.arange(4)[None, None, :]) & 1  # (n,16,4)
+            bits = bits.reshape(len(toks), 64)
+            votes = (bits.astype(np.int32) * 2 - 1).sum(axis=0)
+            bitval = (votes > 0).astype(np.int64)
+            los.append(int((bitval[:32] * weights_lo).sum()))
+            his.append(int((bitval[32:] * weights_lo).sum()))
+        return pd.Series([[h, l] for h, l in zip(his, los)])
+
+    return docs.select("doc_id", simhash_udf(F.col("text")).alias("s")).select(
+        "doc_id", F.col("s")[0].alias("sim_hi"), F.col("s")[1].alias("sim_lo")
     )
 
 
