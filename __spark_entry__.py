@@ -79,7 +79,9 @@ def _q_minhash_signatures(spark, sf):
 
 
 def _q_lsh_candidates(spark, sf):
-    return dedup_docs.lsh_candidates_md5(load(spark, sf, "documents"), k=5, bands=4, rows_per_band=2)
+    # r=4 keeps the background (vocab-overlap) collision rate negligible:
+    # p_band = J^4, so J≈0.15 background pairs collide at ~5e-4 per band
+    return dedup_docs.lsh_candidates_md5(load(spark, sf, "documents"), k=5, bands=2, rows_per_band=4)
 
 
 def _q_ngram_jaccard(spark, sf):
@@ -442,9 +444,9 @@ def oracle_sql() -> dict[str, str]:
               FROM sh, seeds GROUP BY doc_id, seed
             ),
             banded AS (
-              SELECT doc_id, seed // 2 AS band_id,
+              SELECT doc_id, seed // 4 AS band_id,
                      md5(string_agg(minhash, ',' ORDER BY minhash)) AS band_hash
-              FROM sig GROUP BY doc_id, seed // 2
+              FROM sig GROUP BY doc_id, seed // 4
             )
             SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
             FROM banded a JOIN banded b
