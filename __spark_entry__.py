@@ -242,6 +242,57 @@ def _q_time_ago_render(spark, sf):
     return e.crossJoin(mx).select("event_id", time_ago(F.col("ts"), F.col("max_ts")).alias("age_text"))
 
 
+#: per-location retention windows for the sweep/upgrade demo queries
+#: (reference sub_settings[1..3]; None = keep forever, unmapped = keep)
+LOCATION_WINDOWS_SWEEP = {"error": 5, "click": 12, "view": None}
+LOCATION_WINDOWS_UPGRADE = {"top": 8, "hot": 25, "new": None}
+
+
+def _q_events_location_sweep(spark, sf):
+    """Per-location retention sweep candidates (reference database.py:271-283:
+    each row is deleted when its age strictly exceeds ITS OWN Location's day
+    limit). events.event_type plays Location; now = max(ts)."""
+    from repostcheckerbot_spark.operators import locations
+
+    e = load(spark, sf, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    mx = e.agg(F.max("ts").alias("max_ts"))
+    joined = e.crossJoin(mx)
+    keep = locations.within_retention_by_location(
+        F.col("ts"), F.col("event_type"), LOCATION_WINDOWS_SWEEP, now=F.col("max_ts")
+    )
+    return joined.where(~keep).select("event_id", "event_type")
+
+
+def _q_location_upgrade_render(spark, sf):
+    """The Location precedence upgrade chain (database.py:344-350) over a
+    deterministic derivation of events: stored location from props.k mod 3,
+    seen-in-feed flags from k's bits, age vs max(ts). Preserves both reference
+    quirks: feed tests compare the ORIGINAL location, and the last qualifying
+    feed in top→hot→new order wins."""
+    from repostcheckerbot_spark.operators import locations
+
+    e = load(spark, sf, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    mx = e.agg(F.max("ts").alias("max_ts"))
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    d = (
+        e.crossJoin(mx)
+        .withColumn("loc", F.element_at(F.array(F.lit("top"), F.lit("hot"), F.lit("new")), (k % 3) + 1))
+        .withColumn("seen_top", k % 2 == 1)
+        .withColumn("seen_hot", (k / 2).cast("int") % 2 == 1)
+        .withColumn("seen_new", (k / 4).cast("int") % 2 == 1)
+    )
+    from repostcheckerbot_spark.functions.timeutil import age_days
+
+    age = age_days(F.col("ts"), F.col("max_ts"))
+    new_loc = locations.upgraded_location(
+        F.col("loc"),
+        age,
+        {f: F.col(f"seen_{f}") for f in locations.FEEDS},
+        LOCATION_WINDOWS_UPGRADE,
+    )
+    return d.select("event_id", F.col("loc").alias("old_loc"), new_loc.alias("new_loc"))
+
+
 def _q_cosine_pairs(spark, sf):
     emb = load(spark, sf, "embeddings").withColumn(
         "v", F.expr("transform(embedding, x -> cast(x as double))")
@@ -271,6 +322,43 @@ def _q_cosine_topk_lsh(spark, sf):
     probes = emb.where(F.col("vec_id") < 10)
     planes = similarity.make_planes(dim=64, n_planes=8, seed=42)
     return similarity.cosine_topk_lsh(emb, probes, planes, k=5)
+
+
+def _q_cosine_topk_ivf(spark, sf):
+    """IVF ANN (coarse quantizer + nprobe cell scan): the scale path for
+    similarity search — a probe touches nprobe/n_centroids of the corpus."""
+    emb = load(spark, sf, "embeddings").withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    probes = emb.where(F.col("vec_id") < 10)
+    cents = similarity.sample_centroids(emb, n_centroids=8)
+    return similarity.cosine_topk_ivf(emb, probes, cents, k=5, nprobe=3)
+
+
+def _q_ann_recall_ivf(spark, sf):
+    """recall@5 of the IVF path vs brute force — ONE integer-exact row, fully
+    deterministic (fixed centroid sampling), so the driver's rows-only check
+    pins it run-to-run."""
+    emb = load(spark, sf, "embeddings").withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    probes = emb.where(F.col("vec_id") < 10)
+    cents = similarity.sample_centroids(emb, n_centroids=8)
+    ann = similarity.cosine_topk_ivf(emb, probes, cents, k=5, nprobe=3)
+    brute = similarity.cosine_topk_bruteforce(emb, probes, k=5)
+    return similarity.ann_recall(ann, brute)
+
+
+def _q_embedding_near_dups(spark, sf):
+    """Embedding-cosine near-dup PAIRS as a dedup channel. Exhaustive
+    configuration (nprobe = n_centroids) so the DuckDB oracle can state the
+    exact threshold join; the production path drops nprobe (see
+    cosine_topk_ivf / tests for the recall measurement)."""
+    emb = load(spark, sf, "embeddings").withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    cents = similarity.sample_centroids(emb, n_centroids=8)
+    return similarity.embedding_near_dup_pairs(emb, cents, min_cos=0.4, nprobe=8)
 
 
 def _q_doc_routing(spark, sf):
@@ -378,9 +466,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_json_extract": _q_props_json_extract,
         "first_letter_upper": _q_first_letter_upper,
         "markdown_report_rows": _q_markdown_report_rows,
+        "events_location_sweep": _q_events_location_sweep,
+        "location_upgrade_render": _q_location_upgrade_render,
         "cosine_pairs": _q_cosine_pairs,
         "cosine_topk_bruteforce": _q_cosine_topk_bruteforce,
         "cosine_topk_lsh": _q_cosine_topk_lsh,
+        "cosine_topk_ivf": _q_cosine_topk_ivf,
+        "ann_recall_ivf": _q_ann_recall_ivf,
+        "embedding_near_dups": _q_embedding_near_dups,
         "transcripts_doc_assembly": _q_transcripts_doc_assembly,
         "transcripts_flagship_clusters": _q_transcripts_flagship_clusters,
         "transcripts_exact_clusters": _q_transcripts_exact_clusters,
@@ -400,6 +493,28 @@ sh AS (
 )
 """
 
+# pigeonhole chunking of the 64-bit simhash for max_hamming=8 (8 chunks):
+# the SAME bit ranges the Spark plan uses (dedup_docs.simhash_chunk_bounds)
+_SIMHASH_CHUNKS_SQL = "\n              UNION ALL\n              ".join(
+    f"SELECT doc_id, sim_hi, sim_lo, {i} AS chunk_id, {e} AS chunk_val FROM sim"
+    for i, e in enumerate(dedup_docs.simhash_chunk_exprs(8, "duckdb"))
+)
+
+# distinct shingles with the hot-shingle document-frequency cap applied —
+# mirrors dedup_docs.ngram_jaccard_pairs(max_df_frac=NGRAM_MAX_DF_FRAC)
+_SHINGLE5_RARE = f"""
+{_SHINGLE5.strip()},
+dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+fsh AS (
+  SELECT dsh.doc_id, dsh.s FROM dsh
+  JOIN (
+    SELECT s FROM dsh, nd
+    GROUP BY s, n_docs HAVING count(*) <= greatest(n_docs * {{max_df_frac}}, {{df_floor}})
+  ) k ON k.s = dsh.s
+)
+"""
+
 _TRANSCRIPT_BASE_CTE = """
 words AS (
   SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w FROM documents
@@ -409,6 +524,34 @@ turns AS (
          array_to_string(w[(CAST(i AS INT) * 8 + 1):(CAST(i AS INT) * 8 + 8)], ' ') AS turn_text
   FROM words,
        unnest(range(0, greatest(CAST(ceil(len(w) / 8.0) AS INT), 1))) u(i)
+)
+"""
+
+# the FULL derived transcripts corpus (sources/testdata.py:46-92): every doc →
+# conv 'c…'; doc_id ≡ 0 (mod 7) → exact repost 'd…'; doc_id ≡ 0 (mod 5)
+# excluding the former → near repost 'n…' with turns past 60% word-reversed.
+_TRANSCRIPT_FULL_CTE = f"""
+{_TRANSCRIPT_BASE_CTE.strip()},
+turns_c AS (
+  SELECT 'c' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id, turn_idx, turn_text FROM turns
+),
+turns_d AS (
+  SELECT 'd' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id, turn_idx, turn_text
+  FROM turns WHERE doc_id % 7 = 0
+),
+turns_n AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN turn_idx * 10 > mx * 6
+              THEN array_to_string(list_reverse(string_split(turn_text, ' ')), ' ')
+              ELSE turn_text END AS turn_text
+  FROM (
+    SELECT 'n' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id, turn_idx, turn_text,
+           max(turn_idx) OVER (PARTITION BY doc_id) AS mx
+    FROM turns WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0
+  )
+),
+allturns AS (
+  SELECT * FROM turns_c UNION ALL SELECT * FROM turns_d UNION ALL SELECT * FROM turns_n
 )
 """
 
@@ -453,12 +596,11 @@ def oracle_sql() -> dict[str, str]:
               ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
         """,
         "ngram_jaccard": f"""
-            WITH {_SHINGLE5},
-            dsh AS (SELECT DISTINCT doc_id, s FROM sh),
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+            WITH {_SHINGLE5_RARE.format(max_df_frac=dedup_docs.NGRAM_MAX_DF_FRAC, df_floor=dedup_docs.NGRAM_DF_FLOOR)},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM fsh GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_i
-              FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+              FROM fsh a JOIN fsh b ON a.s = b.s AND a.doc_id < b.doc_id
               GROUP BY 1, 2
             )
             SELECT i.doc_id_a, i.doc_id_b,
@@ -489,7 +631,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN b < 32 THEN bit * CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sim_lo
             FROM bv GROUP BY doc_id
         """,
-        "simhash_near_pairs": """
+        "simhash_near_pairs": f"""
             WITH toks AS (
               SELECT doc_id, tok FROM (
                 SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
@@ -510,12 +652,20 @@ def oracle_sql() -> dict[str, str]:
                      CAST(sum(CASE WHEN b >= 32 THEN bit * CAST(pow(2, b - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS sim_hi,
                      CAST(sum(CASE WHEN b < 32 THEN bit * CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sim_lo
               FROM bv GROUP BY doc_id
+            ),
+            chunks AS (
+              {_SIMHASH_CHUNKS_SQL}
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     a.sim_hi AS ah, a.sim_lo AS al, b.sim_hi AS bh, b.sim_lo AS bl
+              FROM chunks a JOIN chunks b
+                ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
             )
-            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-                   CAST(bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) AS INT) AS hamming
-            FROM sim a JOIN sim b
-              ON (a.sim_hi = b.sim_hi OR a.sim_lo = b.sim_lo) AND a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) < 8
+            SELECT doc_id_a, doc_id_b,
+                   CAST(bit_count(xor(ah, bh)) + bit_count(xor(al, bl)) AS INT) AS hamming
+            FROM cand
+            WHERE bit_count(xor(ah, bh)) + bit_count(xor(al, bl)) < 8
         """,
         "token_stats": """
             SELECT doc_id,
@@ -624,17 +774,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS first_ts, count(*) AS n_events FROM events GROUP BY user_id
         """,
         "union_match_strategies": f"""
-            WITH n AS (SELECT doc_id, md5({_NORM}) AS h FROM documents),
+            WITH nrm AS (SELECT doc_id, md5({_NORM}) AS h FROM documents),
             exact AS (
               SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-              FROM n a JOIN n b ON a.h = b.h AND a.doc_id < b.doc_id
+              FROM nrm a JOIN nrm b ON a.h = b.h AND a.doc_id < b.doc_id
             ),
-            {_SHINGLE5.strip().lstrip()},
-            dsh AS (SELECT DISTINCT doc_id, s FROM sh),
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+            {_SHINGLE5_RARE.format(max_df_frac=dedup_docs.NGRAM_MAX_DF_FRAC, df_floor=dedup_docs.NGRAM_DF_FLOOR).strip()},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM fsh GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_i
-              FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+              FROM fsh a JOIN fsh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
             ),
             fuzzy AS (
               SELECT i.doc_id_a, i.doc_id_b FROM inter i
@@ -707,6 +856,40 @@ def oracle_sql() -> dict[str, str]:
                    || '](order)|' || CAST(CAST(round(revenue) AS BIGINT) AS VARCHAR) || '|' AS md_row
             FROM ranked WHERE rnk <= 10
         """,
+        "events_location_sweep": """
+            WITH mx AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS m FROM events),
+            d AS (
+              SELECT event_id, event_type,
+                     CAST(floor((m - CAST(floor(epoch(ts)) AS BIGINT)) / 86400.0) AS INT) AS age
+              FROM events, mx
+            )
+            SELECT event_id, event_type FROM d
+            WHERE (event_type = 'error' AND age > 5) OR (event_type = 'click' AND age > 12)
+        """,
+        "location_upgrade_render": """
+            WITH mx AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS m FROM events),
+            d AS (
+              SELECT event_id,
+                     CAST(json_extract_string(props, '$.k') AS INT) AS k,
+                     CAST(floor((m - CAST(floor(epoch(ts)) AS BIGINT)) / 86400.0) AS INT) AS age
+              FROM events, mx
+            ),
+            f AS (
+              SELECT event_id, age,
+                     CASE (k % 3) WHEN 0 THEN 'top' WHEN 1 THEN 'hot' ELSE 'new' END AS old_loc,
+                     (k % 2 = 1) AS seen_top,
+                     ((k // 2) % 2 = 1) AS seen_hot,
+                     ((k // 4) % 2 = 1) AS seen_new
+              FROM d
+            )
+            SELECT event_id, old_loc,
+                   CASE
+                     WHEN seen_new AND old_loc <> 'new' THEN 'new'
+                     WHEN seen_hot AND old_loc <> 'hot' AND age < 25 THEN 'hot'
+                     ELSE old_loc
+                   END AS new_loc
+            FROM f
+        """,
         "cosine_pairs": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             scored AS (
@@ -719,6 +902,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT probe_id, corpus_id, cos FROM scored WHERE cos >= 0.25
         """,
+        "embedding_near_dups": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CAST(round(
+                       list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                     , 6) AS DOUBLE) AS cos
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4
+        """,
         "transcripts_doc_assembly": f"""
             WITH {_TRANSCRIPT_BASE_CTE.strip()}
             SELECT 'c' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
@@ -728,7 +923,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE turn_text NOT IN ('&#x200B;', '', '[removed]', '[deleted]')
             GROUP BY doc_id
         """,
-        # transcripts_flagship_clusters / transcripts_exact_clusters /
-        # cosine_topk_* : non-SQL-expressible (difflib, xxhash LSH, iterative
-        # CC, tie-sensitive top-k) → rows-only checks.
+        "transcripts_exact_clusters": f"""
+            WITH {_TRANSCRIPT_FULL_CTE.strip()},
+            docs2 AS (
+              SELECT conv_id,
+                     md5(regexp_replace(string_agg(turn_text, chr(10) ORDER BY turn_idx), '\\s+', '', 'g')) AS h
+              FROM allturns
+              WHERE turn_text NOT IN ('&#x200B;', '', '[removed]', '[deleted]')
+              GROUP BY conv_id
+            ),
+            reps AS (SELECT h, min(conv_id) AS cluster_id FROM docs2 GROUP BY h)
+            SELECT d.conv_id, r.cluster_id FROM docs2 d JOIN reps r ON r.h = d.h
+        """,
+        # transcripts_flagship_clusters / cosine_topk_* : non-SQL-expressible
+        # (difflib, xxhash LSH, iterative CC, tie-sensitive top-k) →
+        # rows-only checks.
     }

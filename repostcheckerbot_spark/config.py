@@ -70,6 +70,11 @@ class PipelineConfig:
     #: where checkpoints / metrics / corpus state land (parquet layout; the
     #: writer interface is Iceberg-shaped so swapping the catalog in is local).
     warehouse_dir: str = "/tmp/rcb_spark_warehouse"
+    #: corpus_docs is hash-bucketed by conv_id into this many partitions so
+    #: an incremental MERGE rewrites only touched buckets (I/O ∝ batch, not
+    #: corpus). At cluster scale this is Iceberg ``bucket(conv_id, N)`` with
+    #: N sized so each bucket ≲ a few GB.
+    warehouse_buckets: int = 16
 
     @property
     def num_hashes(self) -> int:

@@ -56,57 +56,142 @@ def _shingle_expr(col: str, k: int) -> str:
     )
 
 
-def minhash_md5(docs: DataFrame, k: int = 5, num_hashes: int = 8) -> DataFrame:
-    """Portable MinHash: signature[s] = min over shingles of md5(s || ':' || x).
+def minhash_md5_signatures(docs: DataFrame, k: int = 5, num_hashes: int = 8) -> DataFrame:
+    """Portable MinHash signature in ONE Arrow pass: ``(doc_id,
+    sig: array<string>)`` with sig[s] = min over distinct k-shingles of
+    md5(str(s) || ':' || shingle) as lowercase hex.
 
-    Emitted as one row per (doc_id, seed, minhash) so the oracle compare is
-    hash-order-insensitive and type-simple.
+    Values are bit-identical to the SQL formula (min over hex strings ==
+    min over digest bytes: fixed-length lowercase hex is order-preserving).
+    A first cut computed this with nested higher-order ``transform(...md5...)``
+    expressions — Spark interprets HOF lambdas per element (~1 µs each), and
+    the ×num_hashes re-hash of every shingle dominated the whole bench
+    (18.9 s at sf0.1 for what is <1 s of hashlib work). Same treatment as the
+    simhash fix in 56c0812: hash inside one pandas UDF, only strings cross
+    the JVM↔Python boundary.
     """
-    n = normalized(docs).withColumn("shingles", F.expr(_shingle_expr("norm_text", k)))
-    sig = n.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {num_hashes - 1}),"
-                f" s -> struct(s as seed, array_min(transform(shingles, x -> md5(concat(cast(s as string), ':', x)))) as minhash))"
-            )
-        ).alias("e"),
-    )
-    return sig.select("doc_id", F.col("e.seed").alias("seed"), F.col("e.minhash").alias("minhash"))
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    def _sig(t: str | None) -> list[str] | None:
+        if t is None:
+            return None
+        # shingle positions mirror sequence(1, greatest(length-k+1, 1)):
+        # texts shorter than k yield the single (short) prefix shingle.
+        shingles = {t[i : i + k] for i in range(max(len(t) - (k - 1), 1))}
+        enc = [s.encode("utf-8") for s in shingles]
+        return [
+            min(hashlib.md5(b"%d:" % seed + e).digest() for e in enc).hex()
+            for seed in range(num_hashes)
+        ]
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series([_sig(t) for t in texts])
+
+    return normalized(docs).select("doc_id", sig_udf(F.col("norm_text")).alias("sig"))
+
+
+def minhash_md5(docs: DataFrame, k: int = 5, num_hashes: int = 8) -> DataFrame:
+    """Portable MinHash: one row per (doc_id, seed, minhash) so the oracle
+    compare is hash-order-insensitive and type-simple. Narrow: posexplode of
+    the single-pass signature array, no shuffle."""
+    sig = minhash_md5_signatures(docs, k=k, num_hashes=num_hashes)
+    return sig.select("doc_id", F.posexplode("sig").alias("seed", "minhash"))
 
 
 def lsh_candidates_md5(docs: DataFrame, k: int = 5, bands: int = 4, rows_per_band: int = 2) -> DataFrame:
     """Banded LSH over the md5 MinHash: candidate (doc_id_a < doc_id_b) pairs
-    sharing at least one band bucket."""
-    num = bands * rows_per_band
-    sig = minhash_md5(docs, k=k, num_hashes=num)
-    banded = (
-        sig.withColumn("band_id", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_list("minhash")))).alias("band_hash"))
+    sharing at least one band bucket.
+
+    band_hash = md5 of the band's r minhashes sorted ascending, comma-joined —
+    identical to the oracle's ``md5(string_agg(minhash, ',' ORDER BY
+    minhash))``. Computed scan-side from the signature array (no groupBy
+    shuffle); the only wide op is the banded equi-join.
+    """
+    r = rows_per_band
+    sig = minhash_md5_signatures(docs, k=k, num_hashes=bands * rows_per_band)
+    band_expr = (
+        f"transform(sequence(0, {bands - 1}),"
+        f" j -> struct(j as band_id,"
+        f" md5(array_join(array_sort(slice(sig, j * {r} + 1, {r})), ',')) as band_hash))"
+    )
+    banded = sig.select("doc_id", F.explode(F.expr(band_expr)).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id")) & (F.col("a.band_hash") == F.col("b.band_hash")),
-        )
+        a.join(b, ["band_id", "band_hash"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
         .distinct()
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, k: int = 5, min_jaccard: float = 0.3) -> DataFrame:
-    """Exact character-k-gram Jaccard similarity join (doc_id_a < doc_id_b).
+#: default document-frequency cap for the shingle self-join: shingles present
+#: in more than this fraction of documents are excluded from the similarity
+#: statistic (standard frequency/prefix filtering for set-similarity joins).
+NGRAM_MAX_DF_FRAC = 0.2
+#: absolute floor on the cap — a shingle is never "hot" below this document
+#: frequency, so tiny corpora (tests) keep every shingle.
+NGRAM_DF_FLOOR = 5
 
-    Set-based plan: explode distinct shingles → self-join on shingle →
-    count(∩) per pair → |∪| = |A|+|B|−|∩|. The shingle join IS the blocking —
-    pairs sharing no shingle never materialize (no cross join).
-    """
+
+def _df_threshold(n_docs_col):
+    return F.greatest(n_docs_col * NGRAM_MAX_DF_FRAC, F.lit(float(NGRAM_DF_FLOOR)))
+
+
+def hot_shingles(docs: DataFrame, k: int = 5, max_df_frac: float = NGRAM_MAX_DF_FRAC) -> DataFrame:
+    """The shingles the DF cap excludes: (sh, df) with df > max(max_df_frac·N,
+    NGRAM_DF_FLOOR). Exposed so callers can COUNT the exclusions
+    (no-silent-caps rule — the cap is part of the declared statistic, never a
+    hidden drop)."""
+    ex = _distinct_shingles(docs, k)
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        ex.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(n_docs)
+        .where(F.col("df") > F.greatest(F.col("n_docs") * max_df_frac, F.lit(float(NGRAM_DF_FLOOR))))
+        .select("sh", "df")
+    )
+
+
+def _distinct_shingles(docs: DataFrame, k: int) -> DataFrame:
     n = normalized(docs).withColumn("shingles", F.expr(_shingle_expr("norm_text", k)))
-    sizes = n.select("doc_id", F.size("shingles").alias("n_sh"))
-    ex = n.select("doc_id", F.explode("shingles").alias("sh"))
+    return n.select("doc_id", F.explode("shingles").alias("sh"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    min_jaccard: float = 0.3,
+    max_df_frac: float | None = NGRAM_MAX_DF_FRAC,
+) -> DataFrame:
+    """Exact character-k-gram Jaccard similarity join (doc_id_a < doc_id_b),
+    computed over the RARE-shingle sets (document frequency ≤ max_df_frac·N).
+
+    Set-based plan: explode distinct shingles → drop hot shingles (one
+    ubiquitous k-gram would place a large fraction of all docs in a single
+    join bucket: O(s²) intersection rows on that key — the skew bomb the LSH
+    path caps via max_band_bucket, blocking.py:21-27) → self-join on shingle
+    → count(∩) per pair → |∪| = |A|+|B|−|∩| with sizes RE-COMPUTED on the
+    filtered sets, so the emitted ``jaccard`` is exactly the Jaccard of the
+    rare-shingle sets. The cap is part of the declared statistic (mirrored
+    verbatim in the DuckDB oracle), and the dropped shingles are enumerable
+    via :func:`hot_shingles` — no silent truncation. Pass
+    ``max_df_frac=None`` for the uncapped statistic at small scale.
+    """
+    ex = _distinct_shingles(docs, k)
+    if max_df_frac is not None:
+        n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+        df = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).crossJoin(F.broadcast(n_docs))
+        keep = df.where(
+            F.col("df") <= F.greatest(F.col("n_docs") * max_df_frac, F.lit(float(NGRAM_DF_FLOOR)))
+        ).select("sh")
+        ex = ex.join(keep, "sh", "left_semi")
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         ex.alias("a")
         .join(ex.alias("b"), "sh")
@@ -184,29 +269,101 @@ def simhash64(docs: DataFrame) -> DataFrame:
     )
 
 
+def simhash_chunk_bounds(num_chunks: int) -> list[tuple[int, int]]:
+    """Near-even [start, end) bit ranges partitioning the 64-bit simhash into
+    ``num_chunks`` chunks. Shared by the Spark plan and the SQL oracle so both
+    engines state the identical blocking."""
+    return [
+        (round(64 * i / num_chunks), round(64 * (i + 1) / num_chunks))
+        for i in range(num_chunks)
+    ]
+
+
+def _chunk_parts(b0: int, b1: int) -> tuple[int, int, int, int, int]:
+    """Decompose bit range [b0, b1) of the conceptual 64-bit simhash into its
+    sim_lo (bits 0..31) and sim_hi (bits 32..63) pieces. Returns
+    (lo_shift, lo_width, hi_shift, hi_width, lo_bits_in_chunk); a width of 0
+    means that half contributes nothing. The halves are never combined into
+    one 64-bit value (sim_hi·2³² overflows signed 64 when bit 63 is set)."""
+    lo_width = max(min(b1, 32) - b0, 0) if b0 < 32 else 0
+    hi_start = max(b0, 32)
+    hi_width = max(b1 - hi_start, 0)
+    return (b0, lo_width, hi_start - 32, hi_width, lo_width)
+
+
+def simhash_chunk_exprs(num_chunks: int, dialect: str) -> list[str]:
+    """Per-chunk extraction expressions over (sim_hi, sim_lo) — one string per
+    chunk, for ``dialect`` in {'spark', 'duckdb'}. chunk_val = the chunk's
+    bits as an integer (lo-half bits in the low positions)."""
+    exprs = []
+    for b0, b1 in simhash_chunk_bounds(num_chunks):
+        lo_shift, lo_width, hi_shift, hi_width, lo_bits = _chunk_parts(b0, b1)
+        parts = []
+        if lo_width:
+            if dialect == "spark":
+                parts.append(f"(shiftright(sim_lo, {lo_shift}) & {(1 << lo_width) - 1})")
+            else:
+                parts.append(f"((sim_lo // {1 << lo_shift}) % {1 << lo_width})")
+        if hi_width:
+            scale = 1 << lo_bits
+            if dialect == "spark":
+                hi = f"(shiftright(sim_hi, {hi_shift}) & {(1 << hi_width) - 1})"
+            else:
+                hi = f"((sim_hi // {1 << hi_shift}) % {1 << hi_width})"
+            parts.append(f"{hi} * {scale}" if lo_bits else hi)
+        exprs.append(" + ".join(parts))
+    return exprs
+
+
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance — the reference's
     dhash-Hamming accept rule re-expressed (hamming < thresh, strictly,
     database.py:451,594; score = ((thresh-d)/thresh)*100, database.py:454).
 
-    Candidate generation blocks on sim_hi (half-signature equality) — the
-    standard multi-probe shortcut; exhaustive at small scale via both halves.
+    Candidate generation is PIGEONHOLE CHUNKING: the 64-bit simhash is split
+    into ``max_hamming`` near-even bit chunks; any pair with hamming ≤
+    max_hamming − 1 (i.e. every accepted pair under the strict ``<`` rule)
+    has fewer differing bits than chunks, so at least one chunk is identical
+    — candidates are exactly the pairs agreeing on ≥1 (chunk_id, chunk_val)
+    key. Recall is therefore 1.0 by construction. The plan is ONE equi-join
+    on the composite key (explode ×num_chunks, hash-join, dedup pairs,
+    Hamming filter): a previous cut joined on ``(hi=hi OR lo=lo)``, which
+    Catalyst cannot hash-join — it planned as a BroadcastNestedLoopJoin
+    (O(N²) compares) AND missed pairs whose differing bits span both halves.
+    test_extensions asserts the plan contains no BNLJ/CartesianProduct and
+    that recall vs the brute-force join is exhaustive.
     """
+    num_chunks = max(1, min(max_hamming, 64))
     s = simhash64(docs)
-    a, b = s.alias("a"), s.alias("b")
+    chunk_structs = ", ".join(
+        f"struct({i} as chunk_id, {e} as chunk_val)"
+        for i, e in enumerate(simhash_chunk_exprs(num_chunks, "spark"))
+    )
+    chunks = s.select(
+        "doc_id", "sim_hi", "sim_lo", F.explode(F.expr(f"array({chunk_structs})")).alias("c")
+    ).select("doc_id", "sim_hi", "sim_lo", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk_val").alias("chunk_val"))
+    a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (
-        a.join(b, (F.col("a.sim_hi") == F.col("b.sim_hi")) | (F.col("a.sim_lo") == F.col("b.sim_lo")))
+        a.join(b, ["chunk_id", "chunk_val"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.sim_hi").alias("ah"),
+            F.col("a.sim_lo").alias("al"),
+            F.col("b.sim_hi").alias("bh"),
+            F.col("b.sim_lo").alias("bl"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
         .withColumn(
             "hamming",
-            F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
-            + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))),
+            F.bit_count(F.col("ah").bitwiseXOR(F.col("bh"))) + F.bit_count(F.col("al").bitwiseXOR(F.col("bl"))),
         )
         .where(F.col("hamming") < max_hamming)
     )
     return pairs.select(
-        F.col("a.doc_id").alias("doc_id_a"),
-        F.col("b.doc_id").alias("doc_id_b"),
+        "doc_id_a",
+        "doc_id_b",
         "hamming",
         F.round((max_hamming - F.col("hamming")) / max_hamming * 100.0, 6).alias("score"),
     )

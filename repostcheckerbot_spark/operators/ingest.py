@@ -85,16 +85,32 @@ class IncrementalPipeline:
         key = [*cfg.block_cols, "band_id", "band_hash"]
         batch_bands = banded.select(*key, "conv_id").localCheckpoint(eager=True)
 
-        # ---- exact edges: batch sha ⋈ (corpus ∪ batch) sha ------------------
+        # ---- exact edges: STAR-CAPPED probe — one edge per batch doc --------
+        # The r1 cut joined batch sha against (corpus ∪ batch): one edge per
+        # STORED COPY, so a probe matching a viral duplicate group of 10⁶
+        # copies emitted 10⁶ edges — the exact quadratic skew the batch path's
+        # exact_edges star rewrite (scoring.py:45) avoids. Instead, join each
+        # batch doc to ONE representative per sha: the corpus group min when
+        # the sha is already stored (every stored copy is already connected to
+        # it, inductively), else the batch-local min. O(batch) edges; the
+        # connected components are identical.
         probe = batch_docs.select("conv_id", "doc_sha")
-        store = probe if corpus is None else corpus.select("conv_id", "doc_sha").unionByName(probe)
+        batch_reps = probe.groupBy("doc_sha").agg(F.min("conv_id").alias("brep"))
+        if corpus is None:
+            reps = batch_reps.select("doc_sha", F.col("brep").alias("rep"))
+        else:
+            corpus_reps = corpus.select("conv_id", "doc_sha").groupBy("doc_sha").agg(
+                F.min("conv_id").alias("crep")
+            )
+            reps = batch_reps.join(corpus_reps, "doc_sha", "left").select(
+                "doc_sha", F.coalesce("crep", "brep").alias("rep")
+            )
         exact = (
-            probe.withColumnRenamed("conv_id", "conv_id_new")
-            .join(store.withColumnRenamed("conv_id", "conv_id_old"), "doc_sha")
-            .where(F.col("conv_id_old") != F.col("conv_id_new"))
+            probe.join(reps, "doc_sha")
+            .where(F.col("conv_id") != F.col("rep"))
             .select(
-                F.least("conv_id_old", "conv_id_new").alias("conv_id_a"),
-                F.greatest("conv_id_old", "conv_id_new").alias("conv_id_b"),
+                F.least("conv_id", "rep").alias("conv_id_a"),
+                F.greatest("conv_id", "rep").alias("conv_id_b"),
                 F.lit(100.0).alias("score"),
                 F.lit("exact").alias("method"),
             )
@@ -102,24 +118,53 @@ class IncrementalPipeline:
         )
 
         # ---- fuzzy candidates: batch bands ⋈ (corpus ∪ batch) bands ---------
+        # Same deterministic bucket cap as the batch path (blocking.py:21-27):
+        # a band bucket larger than max_band_bucket is near-certainly an
+        # exact-dup group (already starred above) and uncapped it yields
+        # O(s·batch) candidate rows. Capped bucket count is recorded — never a
+        # silent drop.
         all_bands = batch_bands if self.corpus_bands() is None else self.corpus_bands().unionByName(batch_bands)
+        from pyspark.sql import Window
+
+        wkey = Window.partitionBy(*key).orderBy("conv_id")
+        capped = (
+            all_bands.withColumn("_rn", F.row_number().over(wkey))
+            .where(F.col("_rn") <= cfg.max_band_bucket)
+            .drop("_rn")
+        )
+        n_capped = (
+            all_bands.groupBy(*key).agg(F.count(F.lit(1)).alias("_sz"))
+            .where(F.col("_sz") > cfg.max_band_bucket)
+            .count()
+        )
+        metrics.record_count("ingest.capped_band_buckets", n_capped, cap=cfg.max_band_bucket)
         cand = (
             batch_bands.withColumnRenamed("conv_id", "conv_id_new")
-            .join(all_bands.withColumnRenamed("conv_id", "conv_id_old"), key)
+            .join(capped.withColumnRenamed("conv_id", "conv_id_old"), key)
             .where(F.col("conv_id_old") != F.col("conv_id_new"))
             .select(
                 F.least("conv_id_old", "conv_id_new").alias("conv_id_a"),
                 F.greatest("conv_id_old", "conv_id_new").alias("conv_id_b"),
             )
             .dropDuplicates(["conv_id_a", "conv_id_b"])
-            .join(exact.select("conv_id_a", "conv_id_b"), ["conv_id_a", "conv_id_b"], "left_anti")
         )
-        texts = batch_docs.select("conv_id", "norm_text")
+        texts = batch_docs.select("conv_id", "doc_sha", "norm_text")
         if corpus is not None:
-            texts = corpus.select("conv_id", "norm_text").unionByName(texts)
+            texts = corpus.select("conv_id", "doc_sha", "norm_text").unionByName(texts)
+        # exact-exclusion (J4) is SHA-INEQUALITY, not an edge anti-join: exact
+        # edges are stars now, so two non-rep members of one sha group never
+        # appear in `exact` — equal shas are the complete exclusion criterion
+        # (same shape as scoring.fuzzy_edges).
         paired = (
-            cand.join(texts.withColumnRenamed("conv_id", "conv_id_a").withColumnRenamed("norm_text", "ta"), "conv_id_a")
-            .join(texts.withColumnRenamed("conv_id", "conv_id_b").withColumnRenamed("norm_text", "tb"), "conv_id_b")
+            cand.join(
+                texts.select(F.col("conv_id").alias("conv_id_a"), F.col("doc_sha").alias("sha_a"), F.col("norm_text").alias("ta")),
+                "conv_id_a",
+            )
+            .join(
+                texts.select(F.col("conv_id").alias("conv_id_b"), F.col("doc_sha").alias("sha_b"), F.col("norm_text").alias("tb")),
+                "conv_id_b",
+            )
+            .where(F.col("sha_a") != F.col("sha_b"))
         )
         # spread the CPU-bound scoring stage (see scoring.fuzzy_edges)
         paired = paired.repartition(paired.sparkSession.sparkContext.defaultParallelism)
@@ -145,7 +190,18 @@ class IncrementalPipeline:
         metrics.record_count("ingest.new_edges", new_edges.count())
 
         # ---- persist state (idempotent upserts, ST5) -------------------------
-        self.wh.upsert("corpus_docs", batch_docs.select(*DOC_COLS), key="conv_id")
+        # corpus_docs is hash-bucketed by conv_id: the merge rewrites only the
+        # buckets this batch touches (I/O ∝ batch, not corpus) — recorded in
+        # the metrics lineage.
+        stats = self.wh.upsert(
+            "corpus_docs", batch_docs.select(*DOC_COLS), key="conv_id", n_buckets=cfg.warehouse_buckets
+        )
+        metrics.record_count(
+            "ingest.upsert_corpus_docs",
+            stats["rows_written"] or 0,
+            buckets_touched=stats["buckets_touched"],
+            buckets_total=stats["buckets_total"],
+        )
         if self.wh.exists("corpus_bands"):
             self.wh.append("corpus_bands", batch_bands)
         else:
@@ -155,7 +211,9 @@ class IncrementalPipeline:
         all_edges = new_edges if old_edges is None else old_edges.unionByName(new_edges).dropDuplicates(
             ["conv_id_a", "conv_id_b"]
         )
-        self.wh.overwrite("edges", all_edges)
+        # staging-dir + rename swap: all_edges lazily READS the edges path, so
+        # a plain overwrite of the same path is committer-dependent data loss
+        self.wh.upsert_replace("edges", all_edges)
         all_edges = self.wh.read("edges")
 
         # ---- implicit-cluster growth: CC over old ∪ new edges ---------------
@@ -175,34 +233,49 @@ class IncrementalPipeline:
         }
 
     # -- janitors (reference §3.4) -------------------------------------------
+    def _purge_keys(self, dead: DataFrame) -> int:
+        """Remove the given conv_ids from every state table. ``dead`` stays a
+        DataFrame end-to-end (anti-join deletes in Warehouse.delete_keys) —
+        never collected; a sweep expiring millions of rows costs the driver
+        nothing. Clusters are recomputed from the surviving edge set so no
+        stale memberships (or cluster ids naming purged convs) remain."""
+        # materialize: the keys are derived from tables the deletes rewrite
+        dead = dead.select("conv_id").distinct().localCheckpoint(eager=True)
+        n = self.wh.delete_keys("corpus_docs", dead, "conv_id")
+        if self.wh.exists("corpus_bands"):
+            self.wh.delete_keys("corpus_bands", dead, "conv_id")
+        if self.wh.exists("edges"):
+            self.wh.delete_keys("edges", dead, ["conv_id_a", "conv_id_b"])
+        if n and self.wh.exists("clusters"):
+            self.recompute_clusters()
+        return n
+
+    def recompute_clusters(self) -> DataFrame:
+        """CC over the surviving edges ∪ surviving vertices → overwrite
+        ``clusters``. Edge sets are tiny relative to the corpus (matched pairs
+        only), so this is cheap relative to a batch."""
+        edges = self.edges()
+        if edges is None:
+            edges = self.wh.spark.createDataFrame([], "conv_id_a string, conv_id_b string, score double, method string")
+        clusters = connected_components(
+            edges,
+            vertices=self.wh.read("corpus_docs").select("conv_id"),
+            max_iterations=self.cfg.cc_max_iterations,
+        )
+        self.wh.upsert_replace("clusters", clusters)
+        return self.wh.read("clusters")
+
     def retention_sweep(self, now=None) -> int:
         """Daily TTL sweep (database.py:255-285): purge docs past retention,
-        plus their bands and edges."""
+        plus their bands, edges, and cluster rows."""
         if self.cfg.retention_days is None or not self.wh.exists("corpus_docs"):
             return 0
         now_col = now if now is not None else F.current_timestamp()
         docs = self.wh.read("corpus_docs")
         expired = docs.where(~within_retention(F.col("first_ts"), self.cfg.retention_days, now_col))
-        dead = [r.conv_id for r in expired.select("conv_id").collect()]
-        if not dead:
-            return 0
-        n = self.wh.delete_where("corpus_docs", F.col("conv_id").isin(dead))
-        if self.wh.exists("corpus_bands"):
-            self.wh.delete_where("corpus_bands", F.col("conv_id").isin(dead))
-        if self.wh.exists("edges"):
-            self.wh.delete_where("edges", F.col("conv_id_a").isin(dead) | F.col("conv_id_b").isin(dead))
-        return n
+        return self._purge_keys(expired.select("conv_id"))
 
-    def purge_deleted(self, tombstones: DataFrame) -> None:
+    def purge_deleted(self, tombstones: DataFrame) -> int:
         """Dead-link purge (database.py:88-94,653-676): remove tombstoned
         conversations from all state."""
-        dead = [r.conv_id for r in tombstones.select("conv_id").collect()]
-        if not dead:
-            return
-        for table, cond in [
-            ("corpus_docs", F.col("conv_id").isin(dead)),
-            ("corpus_bands", F.col("conv_id").isin(dead)),
-            ("edges", F.col("conv_id_a").isin(dead) | F.col("conv_id_b").isin(dead)),
-        ]:
-            if self.wh.exists(table):
-                self.wh.delete_where(table, cond)
+        return self._purge_keys(tombstones.select("conv_id"))

@@ -15,8 +15,11 @@ key.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql import Window
 
 
@@ -99,3 +102,140 @@ def make_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer + nprobe search
+# --------------------------------------------------------------------------
+def sample_centroids(embeddings: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic coarse quantizer: the ``n_centroids`` smallest-id vectors
+    (k-means init placeholder — at cluster scale run k-means|| offline and
+    persist the codebook; the search path below is unchanged). k×dim floats:
+    a legitimately driver-sized artifact, broadcast into the assignment UDF."""
+    rows = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def _centroid_topn_udf(centroids: list[list[float]], n: int):
+    """pandas UDF: embedding → the ``n`` nearest centroid ids by cosine.
+    One numpy matmul per Arrow batch — no per-row Python."""
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def topn(vecs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = X @ C.T
+        # deterministic: argsort desc with centroid-id tiebreak via stable sort
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return topn
+
+
+def with_ivf_cell(embeddings: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> DataFrame:
+    """Assign every vector to its nearest centroid (its IVF cell)."""
+    topn = _centroid_topn_udf(centroids, 1)
+    return embeddings.withColumn("cell", topn(F.col(vec_col))[0])
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: corpus vectors live in their nearest-centroid cell; a probe
+    scans only its ``nprobe`` nearest cells, exact cosine re-rank inside.
+
+    100-TB shape: the corpus is partitioned by ``cell`` ONCE (scan-side narrow
+    assignment, one numpy matmul per Arrow batch), so a probe batch touches
+    nprobe/n_centroids of the data and the join is a broadcast of the (small)
+    probe side against cell-pruned corpus partitions. Recall is tunable via
+    nprobe — measured against brute force in ann_recall queries/tests."""
+    corpus = with_ivf_cell(embeddings, centroids, vec_col).select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"), "cell"
+    )
+    topn = _centroid_topn_udf(centroids, nprobe)
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("pv"),
+        F.explode(topn(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        corpus.join(F.broadcast(p), "cell")
+        .where(F.col("probe_id") != F.col("corpus_id"))
+        .withColumn("cos", F.round(cosine(F.col("pv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("probe_id", "corpus_id", "cos", "rnk")
+    )
+
+
+def ann_recall(ann: DataFrame, brute: DataFrame) -> DataFrame:
+    """recall@k of an ANN result vs the brute-force ground truth: ONE row
+    (n_probes, n_truth, n_hits, recall_millionths) — integer-exact, so the
+    number is stable across engines and runs (fixed seeds everywhere)."""
+    truth = brute.select("probe_id", "corpus_id")
+    hits = ann.select("probe_id", "corpus_id").join(truth, ["probe_id", "corpus_id"], "left_semi")
+    return (
+        truth.agg(
+            F.countDistinct("probe_id").alias("n_probes"),
+            F.count(F.lit(1)).alias("n_truth"),
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .select(
+            "n_probes",
+            "n_truth",
+            "n_hits",
+            F.floor(F.col("n_hits") * 1_000_000 / F.col("n_truth")).cast("long").alias("recall_millionths"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding near-dup channel (dedup family over array<float> columns)
+# --------------------------------------------------------------------------
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    min_cos: float = 0.9,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (id_a < id_b, cos ≥ min_cos) —
+    the ANN rendering of the dedup family's "embedding channel": every vector
+    probes its ``nprobe`` nearest IVF cells, so near-identical vectors (which
+    share or neighbor a cell) collide without any all-pairs join.
+
+    Scale shape: candidates = one equi-join on ``cell`` after narrow
+    assignment; candidate count is Σ_cell |cell|·(probe hits in cell), capped
+    by cell granularity — never O(N²). Recall for true near-dups (cos ≥ 0.9)
+    is high because such pairs' cells coincide at small angle; measured in
+    tests against the exact threshold join."""
+    assigned = with_ivf_cell(embeddings, centroids, vec_col)
+    corpus = assigned.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cell")
+    topn = _centroid_topn_udf(centroids, nprobe)
+    probes = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.explode(topn(F.col(vec_col))).alias("cell"),
+    )
+    return (
+        probes.join(corpus, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos") >= min_cos)
+        .select("id_a", "id_b", "cos")
+    )

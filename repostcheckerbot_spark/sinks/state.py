@@ -37,7 +37,38 @@ class Warehouse:
         return os.path.isdir(p) and any(f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p))
 
     def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self._path(table))
+        df = self._read_raw(table)
+        # _bucket is internal layout (hash-bucket partition column), not schema
+        return df.drop("_bucket") if "_bucket" in df.columns else df
+
+    def _read_raw(self, table: str) -> DataFrame:
+        """Parquet read with an empty-table fallback: a delete that empties a
+        partitioned table leaves no files to infer from, so the schema stored
+        in the table meta (at write time) reconstructs a 0-row frame."""
+        try:
+            return self.spark.read.parquet(self._path(table))
+        except Exception:
+            meta = self._read_table_meta(table)
+            if "schema" in meta:
+                from pyspark.sql.types import StructType
+
+                return self.spark.createDataFrame([], StructType.fromJson(json.loads(meta["schema"])))
+            raise
+
+    # -- per-table layout metadata (bucketing) -------------------------------
+    def _meta_path(self, table: str) -> str:
+        return f"{self.root}/{table}._meta.json"
+
+    def _read_table_meta(self, table: str) -> dict:
+        p = self._meta_path(table)
+        if not os.path.isfile(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_table_meta(self, table: str, meta: dict) -> None:
+        with open(self._meta_path(table), "w") as f:
+            json.dump(meta, f)
 
     def overwrite(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
         w = df.write.mode("overwrite")
@@ -51,34 +82,135 @@ class Warehouse:
             w = w.partitionBy(*partition_by)
         w.parquet(self._path(table))
 
-    def upsert(self, table: str, df: DataFrame, key: str) -> None:
+    def upsert(self, table: str, df: DataFrame, key: str, n_buckets: int | None = None) -> dict:
         """MERGE-style idempotent upsert (reference ST5: re-sweeps tolerated
         because the Url probe short-circuits, database.py:328-358).
 
         Parquet rendering of ``MERGE INTO t USING df ON t.key = df.key WHEN
         MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT``: existing rows not
-        in df are kept, df wins on key collision. Atomic-enough for the
-        sandbox (staging dir + rename); Iceberg gives real snapshot isolation.
+        in df are kept, df wins on key collision.
+
+        Layouts:
+        - **bucketed** (``n_buckets`` at creation, persisted in table meta):
+          the table is partitioned by ``_bucket = pmod(xxhash64(key),
+          n_buckets)`` and a merge REWRITES ONLY THE BUCKETS THE BATCH
+          TOUCHES (dynamic partition overwrite) — I/O proportional to the
+          batch, not the corpus. This is the parquet rendering of an Iceberg
+          ``bucket(key)``-partitioned MERGE; swapping in a real catalog keeps
+          the call sites unchanged.
+        - **flat** (no buckets): full staging-dir rewrite + rename — only for
+          small tables (metrics, demo state).
+
+        Returns {"rows_written", "buckets_touched", "buckets_total"} so
+        callers can record merge I/O in the metrics lineage.
         """
+        meta = self._read_table_meta(table)
+        n_buckets = n_buckets or meta.get("n_buckets")
+        if n_buckets:
+            return self._upsert_bucketed(table, df, key, int(n_buckets))
         if not self.exists(table):
             self.overwrite(table, df)
-            return
+            return {"rows_written": None, "buckets_touched": None, "buckets_total": None}
         current = self.read(table)
         merged = current.join(df.select(key), key, "left_anti").unionByName(df)
-        staged = self._path(f"_staging_{table}_{uuid.uuid4().hex[:8]}")
-        merged.write.mode("overwrite").parquet(staged)
-        final = self._path(table)
-        tmp_old = self._path(f"_old_{table}_{uuid.uuid4().hex[:8]}")
-        os.rename(final, tmp_old)
-        os.rename(staged, final)
+        self.upsert_replace(table, merged)
+        return {"rows_written": None, "buckets_touched": None, "buckets_total": None}
+
+    def _bucket_col(self, key: str, n_buckets: int):
+        return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+
+    def _upsert_bucketed(self, table: str, df: DataFrame, key: str, n_buckets: int) -> dict:
+        path = self._path(table)
+        df2 = df.withColumn("_bucket", self._bucket_col(key, n_buckets))
+        if not self.exists(table):
+            df2.write.mode("overwrite").partitionBy("_bucket").parquet(path)
+            self._write_table_meta(
+                table,
+                {"n_buckets": n_buckets, "bucket_key": key, "schema": df2.schema.json()},
+            )
+            n = self.spark.read.parquet(path).count()
+            return {"rows_written": n, "buckets_touched": n_buckets, "buckets_total": n_buckets}
+        # the touched-bucket list is ≤ n_buckets small ints — a bounded
+        # driver-side value, NOT a key collect
+        touched = [r["_bucket"] for r in df2.select("_bucket").distinct().collect()]
+        current = self._read_raw(table).where(F.col("_bucket").isin(touched))
+        merged = (
+            current.join(df2.select(key).distinct(), key, "left_anti")
+            .unionByName(df2)
+            # materialize BEFORE overwriting the path being read (classic
+            # read-then-overwrite footgun; the staging protocol equivalent)
+            .localCheckpoint(eager=True)
+        )
+        rows = merged.count()
+        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy("_bucket").parquet(path)
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return {"rows_written": rows, "buckets_touched": len(touched), "buckets_total": n_buckets}
+
+    def delete_keys(self, table: str, keys: DataFrame, cols: list[str] | str) -> int:
+        """DELETE FROM table WHERE any of ``cols`` ∈ keys — as LEFT ANTI joins
+        against the keys DATAFRAME. Keys are never collected to the driver
+        (the r1 cut built ``isin`` literal lists — driver OOM / plan blowup
+        when a sweep expires millions of rows). Returns rows deleted.
+
+        Callers whose ``keys`` derive from THIS table must materialize them
+        first (``localCheckpoint``) — the rewrite swaps the underlying files.
+
+        Bucketed tables (when deleting on the bucket key): only buckets that
+        can contain the keys are read and rewritten; buckets left empty are
+        dropped explicitly (dynamic overwrite can't write an empty partition).
+        """
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        if not self.exists(table):
+            return 0
+        kname = keys.columns[0]
+        keys = keys.select(F.col(kname).alias("_k")).distinct()
+        meta = self._read_table_meta(table)
+        if meta.get("n_buckets") and cols == [meta.get("bucket_key")]:
+            return self._delete_keys_bucketed(table, keys, cols[0], int(meta["n_buckets"]))
+        current = self._read_raw(table)
+        keep = current
+        for c in cols:
+            keep = keep.join(keys.withColumnRenamed("_k", c), c, "left_anti")
+        n_before = current.count()
+        n_after = keep.count()
+        if n_after < n_before:
+            self.upsert_replace(table, keep)
+        return n_before - n_after
+
+    def _delete_keys_bucketed(self, table: str, keys: DataFrame, key: str, n_buckets: int) -> int:
         import shutil
 
-        shutil.rmtree(tmp_old, ignore_errors=True)
+        path = self._path(table)
+        kb = keys.select(F.pmod(F.xxhash64(F.col("_k")), F.lit(n_buckets)).cast("int").alias("_bucket"))
+        touched = [r["_bucket"] for r in kb.distinct().collect()]
+        if not touched:
+            return 0
+        current = self._read_raw(table).where(F.col("_bucket").isin(touched))
+        keep = current.join(keys.withColumnRenamed("_k", key), key, "left_anti").localCheckpoint(eager=True)
+        n_before = current.count()
+        n_after = keep.count()
+        if n_after == n_before:
+            return 0
+        remaining = {r["_bucket"] for r in keep.select("_bucket").distinct().collect()}
+        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            keep.write.mode("overwrite").partitionBy("_bucket").parquet(path)
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        for b in set(touched) - remaining:  # fully-emptied buckets
+            shutil.rmtree(f"{path}/_bucket={b}", ignore_errors=True)
+        return n_before - n_after
 
     def delete_where(self, table: str, condition) -> int:
-        """Row-level delete rewritten as filter+rewrite (Iceberg: DELETE FROM).
-        Returns rows deleted. Reference analog: retention sweep + dead-link
-        deletes (database.py:255-285,88-94,653-658)."""
+        """Row-level delete by COLUMN PREDICATE (age gates, quality floors) —
+        filter + rewrite (Iceberg: DELETE FROM … WHERE). For key-set deletes
+        use :meth:`delete_keys`; a predicate built from a collected key list
+        is the driver-OOM anti-pattern. Returns rows deleted."""
         if not self.exists(table):
             return 0
         current = self.read(table).cache()
@@ -90,15 +222,28 @@ class Warehouse:
         return n_del
 
     def upsert_replace(self, table: str, df: DataFrame) -> None:
-        staged = self._path(f"_staging_{uuid.uuid4().hex[:8]}")
-        df.write.mode("overwrite").parquet(staged)
+        """Atomic-enough full-table swap: write to a staging dir, rename over
+        the final path (never overwrite a path mid-read). Preserves bucket
+        partitioning when the table has it."""
+        meta = self._read_table_meta(table)
+        staged = self._path(f"_staging_{table}_{uuid.uuid4().hex[:8]}")
+        w = df.write.mode("overwrite")
+        if meta.get("n_buckets") and "_bucket" in df.columns:
+            w = w.partitionBy("_bucket")
+        elif meta.get("n_buckets"):
+            df = df.withColumn("_bucket", self._bucket_col(meta["bucket_key"], int(meta["n_buckets"])))
+            w = df.write.mode("overwrite").partitionBy("_bucket")
+        w.parquet(staged)
         final = self._path(table)
-        tmp_old = self._path(f"_old_{uuid.uuid4().hex[:8]}")
-        os.rename(final, tmp_old)
-        os.rename(staged, final)
-        import shutil
+        if os.path.isdir(final):
+            tmp_old = self._path(f"_old_{table}_{uuid.uuid4().hex[:8]}")
+            os.rename(final, tmp_old)
+            os.rename(staged, final)
+            import shutil
 
-        shutil.rmtree(tmp_old, ignore_errors=True)
+            shutil.rmtree(tmp_old, ignore_errors=True)
+        else:
+            os.rename(staged, final)
 
 
 class MetricsSink:

@@ -114,3 +114,136 @@ def test_multimodal_frame_signatures_and_video_score(spark):
 
 def test_multimodal_real_decode_raises(spark):
     assert pytest.raises(NotImplementedError, multimodal.fake_dhash, b"\x89PNG...", 0)
+
+
+def test_simhash_near_pairs_plan_and_exhaustive_recall(spark):
+    """The chunked candidate join must (a) plan as a hash/sort-merge equi-join
+    — never BroadcastNestedLoopJoin/CartesianProduct (the OR-of-equalities
+    shape Catalyst can't hash-join), and (b) find EVERY pair with hamming <
+    max_hamming, including pairs whose differing bits span both 32-bit halves
+    (the old hi/lo blocking missed those)."""
+    import itertools
+
+    texts = []
+    base_words = ["alpha bravo charlie delta echo foxtrot golf hotel india juliet"]
+    for i in range(30):
+        # near-dups of one base with small word tweaks → a spread of hamming
+        # distances; plus unrelated docs
+        words = base_words[0].split()
+        if i % 3 == 1:
+            words[i % len(words)] = f"tweak{i}"
+        if i % 3 == 2:
+            words = words + [f"extra{i}"]
+        texts.append(" ".join(words))
+    texts += [f"totally different content block number {i} zebra quark {i*7}" for i in range(10)]
+    d = _docs(spark, texts)
+
+    out = dedup_docs.simhash_near_pairs(d, max_hamming=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    sims = {r.doc_id: (r.sim_hi, r.sim_lo) for r in dedup_docs.simhash64(d).collect()}
+    expected = set()
+    for a, b in itertools.combinations(sorted(sims), 2):
+        ham = bin(sims[a][0] ^ sims[b][0]).count("1") + bin(sims[a][1] ^ sims[b][1]).count("1")
+        if ham < 8:
+            expected.add((a, b, ham))
+    got = {(r.doc_id_a, r.doc_id_b, r.hamming) for r in out.collect()}
+    assert got == expected and len(expected) > 0
+
+
+def test_simhash_chunk_exprs_cover_all_64_bits(spark):
+    # pigeonhole precondition: the chunk bit ranges partition [0, 64) exactly
+    for n in (2, 6, 8, 9, 13):
+        bounds = dedup_docs.simhash_chunk_bounds(n)
+        assert bounds[0][0] == 0 and bounds[-1][1] == 64
+        assert all(b0 < b1 for b0, b1 in bounds)
+        assert all(prev[1] == cur[0] for prev, cur in zip(bounds, bounds[1:]))
+
+
+def test_ngram_hot_shingle_cap_bounds_skew(spark):
+    """One shingle shared by 50% of docs must not create O(n²) pairs: the DF
+    cap drops it from the statistic, and hot_shingles() enumerates the drop
+    (no-silent-caps)."""
+    import hashlib as _h
+
+    n = 40
+    hot = "HOTHOTHOT"  # shared run → its 5-grams appear in half the corpus
+    texts = [_h.md5(str(i).encode()).hexdigest() + (hot if i % 2 == 0 else "") for i in range(n)]
+    d = _docs(spark, texts)
+    dropped = {r.sh: r.df for r in dedup_docs.hot_shingles(d, k=5).collect()}
+    assert {"HOTHO", "OTHOT", "THOTH"} <= set(dropped)
+    assert all(df == n // 2 for df in dropped.values())
+    pairs = dedup_docs.ngram_jaccard_pairs(d, k=5, min_jaccard=0.05).collect()
+    # docs share ONLY the hot shingles → after the cap they share ~nothing
+    assert pairs == []
+
+
+def test_minhash_md5_udf_matches_host_formula(spark):
+    """The one-Arrow-pass md5 MinHash must be bit-identical to the declared
+    formula: min over distinct k-shingles of md5(f'{seed}:{shingle}') hex."""
+    import hashlib
+
+    texts = ["the quick brown fox jumps over it", "ab", ""]
+    d = _docs(spark, texts)
+    rows = dedup_docs.minhash_md5(d, k=5, num_hashes=4).collect()
+    got = {(r.doc_id, r.seed): r.minhash for r in rows}
+    for doc_id, t in enumerate(texts):
+        t = t.replace(" ", "")
+        shingles = {t[i : i + 5] for i in range(max(len(t) - 4, 1))}
+        for seed in range(4):
+            want = min(hashlib.md5(f"{seed}:{s}".encode()).hexdigest() for s in shingles)
+            assert got[(doc_id, seed)] == want
+
+
+def _clustered_vectors(spark, n_clusters=10, per_cluster=20, dim=16, noise=0.08):
+    """Deterministic clustered embeddings: tight clusters around seeded unit
+    centers; ids interleaved so sample_centroids' smallest-id init covers
+    every cluster."""
+    import random
+
+    rng = random.Random(7)
+    centers = []
+    for _ in range(n_clusters):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        nrm = math.sqrt(sum(x * x for x in v))
+        centers.append([x / nrm for x in v])
+    rows = []
+    for m in range(per_cluster):
+        for c in range(n_clusters):
+            vec = [centers[c][j] + rng.gauss(0, noise) for j in range(dim)]
+            rows.append((m * n_clusters + c, vec))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    emb = _clustered_vectors(spark)
+    probes = emb.where(F.col("vec_id") < 10)
+    cents = similarity.sample_centroids(emb, n_centroids=10)
+    ann = similarity.cosine_topk_ivf(emb, probes, cents, k=5, nprobe=2)
+    brute = similarity.cosine_topk_bruteforce(emb, probes, k=5)
+    rec = similarity.ann_recall(ann, brute).collect()[0]
+    assert rec.n_probes == 10 and rec.n_truth == 50
+    assert rec.recall_millionths >= 900_000  # ≥ 0.9 recall gate
+
+
+def test_embedding_near_dup_channel_recall(spark):
+    emb = _clustered_vectors(spark)
+    cents = similarity.sample_centroids(emb, n_centroids=10)
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs(emb, cents, min_cos=0.9, nprobe=2).collect()
+    }
+    # exact ground truth via the brute pair join (same rounding)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(similarity.cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos") >= 0.9)
+        .collect()
+    }
+    assert len(exact) > 100  # the clusters really produce near-dups
+    assert got <= exact  # no false accepts (exact re-rank)
+    assert len(got) >= 0.9 * len(exact)  # ≥ 0.9 recall with nprobe=2

@@ -100,3 +100,62 @@ def test_retention_sweep(spark, tmp_path):
     assert pipe2.corpus_docs().count() == 1
     n = pipe2.retention_sweep(now=now)
     assert n == 1 and pipe2.corpus_docs().count() == 0
+
+
+def test_incremental_exact_probe_is_star_capped(spark, pipe):
+    """A probe matching a viral duplicate group must emit O(probes) edges,
+    not O(stored copies): 200 stored copies + 3 probes → exactly 3 new edges
+    (probe → per-sha representative), and all 203 convs land in ONE cluster."""
+    copies = []
+    for i in range(200):
+        copies += _conv(f"c{i:04d}", BASE, ts=TS + timedelta(minutes=i))
+    r1 = pipe.process_batch(_turns(spark, copies))
+    assert r1["new_edges"].count() == 199  # star within the batch, not 200·199/2
+
+    probes = []
+    for i in range(3):
+        probes += _conv(f"p{i:02d}", BASE, ts=TS + timedelta(days=1, minutes=i))
+    r2 = pipe.process_batch(_turns(spark, probes))
+    exact = r2["new_edges"].where(F.col("method") == "exact")
+    assert exact.count() == 3  # one edge per probe — NOT 3 × 200
+    assert exact.where(F.col("conv_id_a") == "c0000").count() == 3  # rep = corpus min
+    clusters = r2["clusters"].select("cluster_id").distinct().collect()
+    assert len(clusters) == 1 and clusters[0].cluster_id == "c0000"
+
+
+def test_delete_keys_dataframe_no_driver_collect(spark, tmp_path):
+    """Bulk delete via a keys DATAFRAME (100k keys): no isin-literal plan, no
+    driver materialization; bucketed path rewrites only key-bearing buckets."""
+    wh = Warehouse(spark, str(tmp_path / "whdel"))
+    rows = spark.range(100_000).select(
+        F.concat(F.lit("c"), F.lpad(F.col("id").cast("string"), 7, "0")).alias("conv_id"),
+        (F.col("id") % 100).alias("payload"),
+    )
+    wh.upsert("corpus", rows, key="conv_id", n_buckets=16)
+    keys = spark.range(50_000).select(
+        F.concat(F.lit("c"), F.lpad(F.col("id").cast("string"), 7, "0")).alias("conv_id")
+    )
+    n = wh.delete_keys("corpus", keys, "conv_id")
+    assert n == 50_000
+    remaining = wh.read("corpus")
+    assert remaining.count() == 50_000
+    assert remaining.where(F.col("conv_id") < "c0050000").count() == 0
+    # deleting everything leaves a readable, empty, schema-stable table
+    assert wh.delete_keys("corpus", wh.read("corpus").select("conv_id").localCheckpoint(), "conv_id") == 50_000
+    assert wh.read("corpus").count() == 0 and wh.read("corpus").columns == ["conv_id", "payload"]
+
+
+def test_bucketed_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "whbk"))
+    base = spark.range(10_000).select(
+        F.concat(F.lit("c"), F.col("id").cast("string")).alias("conv_id"), F.lit(1).cast("long").alias("v")
+    )
+    wh.upsert("t", base, key="conv_id", n_buckets=32)
+    inc = spark.createDataFrame([("c5", 2), ("cNEW", 2)], ["conv_id", "v"])
+    stats = wh.upsert("t", inc, key="conv_id")
+    # merge I/O ∝ batch: at most 2 of 32 buckets rewritten
+    assert stats["buckets_touched"] <= 2 and stats["buckets_total"] == 32
+    assert stats["rows_written"] < 10_000 / 4
+    out = wh.read("t")
+    assert out.count() == 10_001
+    assert {r.v for r in out.where(F.col("conv_id").isin("c5", "cNEW")).collect()} == {2}
