@@ -59,9 +59,11 @@ def main() -> None:
     run("lsh_candidates_xxhash", lsh_candidates)
     run("exact_dedup", lambda: q["dedup_keep_first"](spark, SF_DIR).count())
     run("simhash", lambda: q["simhash"](spark, SF_DIR).count())
+    run("simhash_near_pairs", lambda: q["simhash_near_pairs"](spark, SF_DIR).count())
     run("minhash_lsh_md5", lambda: q["lsh_candidates"](spark, SF_DIR).count())
     run("cosine_topk_bruteforce", lambda: q["cosine_topk_bruteforce"](spark, SF_DIR).count())
     run("cosine_topk_lsh", lambda: q["cosine_topk_lsh"](spark, SF_DIR).count())
+    run("cosine_topk_ivf", lambda: q["cosine_topk_ivf"](spark, SF_DIR).count())
     run("q1_pricing_summary", lambda: q["q1_pricing_summary"](spark, SF_DIR).count())
     run("token_stats", lambda: q["token_stats"](spark, SF_DIR).count())
     run("events_ts_buckets", lambda: q["events_ts_buckets"](spark, SF_DIR).count())

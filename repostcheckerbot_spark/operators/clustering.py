@@ -76,20 +76,33 @@ def connected_components(
     checkpoint_dir: str | None = None,
     max_iterations: int = 50,
     metrics: list[dict] | None = None,
+    probe_interval: int = 2,
 ) -> DataFrame:
     """edges(conv_id_a, conv_id_b) [+ vertices(conv_id)] → (conv_id, cluster_id).
 
     cluster_id = lexicographic min conv_id of the component. Vertices absent
     from any edge (singletons) map to themselves when ``vertices`` is given.
+
+    Driver-floor discipline (the serial floor is ~1-3 s of scheduler/AQE
+    latency PER JOB LAUNCH, BENCH/BASELINE.md): checkpoints are LAZY — the
+    convergence-probe aggregate materializes them, so a probed round is ONE
+    job, not two — and the probe runs every ``probe_interval`` rounds with the
+    intermediate rounds fused into the same job (lineage depth ≤
+    probe_interval). Comparing signatures ``probe_interval`` apart is sound:
+    star contraction monotonically decreases the parent-id potential, so an
+    unchanged (count, xor) signature across the window means no round in it
+    changed anything. Worst case runs probe_interval−1 extra (cheap, empty)
+    rounds; job launches drop ~2×probe_interval-fold.
     """
     spark = edges.sparkSession
     e = edges.select(F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")).where(
         F.col("src") != F.col("dst")
     ).distinct()
-    e = e.localCheckpoint(eager=True)
     # edge sets are typically tiny relative to the corpus (only matched
     # pairs); right-size partitions so each of the O(log n) rounds doesn't
-    # pay a full-width shuffle of near-empty tasks.
+    # pay a full-width shuffle of near-empty tasks. The count materializes
+    # the (lazy) checkpoint — one job for dedup + sizing.
+    e = e.localCheckpoint(eager=False)
     n_edges = e.count()
     parts = max(1, min(e.sparkSession.sparkContext.defaultParallelism, n_edges // 20_000 + 1))
     e = e.repartition(parts)
@@ -98,12 +111,17 @@ def connected_components(
     for it in range(max_iterations):
         t0 = time.monotonic()
         e = _small_star(_large_star(e))
+        probe_now = (it + 1) % probe_interval == 0 or it == max_iterations - 1
         if checkpoint_dir is not None:
+            # durable-resume mode: every round lands in parquet (the write IS
+            # the materialization; north-rule resumability)
             path = f"{checkpoint_dir}/cc_iter={it:04d}"
             e.write.mode("overwrite").parquet(path)
             e = spark.read.parquet(path)
-        else:
-            e = e.localCheckpoint(eager=True)
+        elif probe_now:
+            e = e.localCheckpoint(eager=False)  # probe aggregate materializes it
+        if not probe_now:
+            continue
         sig = _signature(e)
         if metrics is not None:
             metrics.append(

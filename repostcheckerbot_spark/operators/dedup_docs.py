@@ -332,6 +332,13 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     (O(N²) compares) AND missed pairs whose differing bits span both halves.
     test_extensions asserts the plan contains no BNLJ/CartesianProduct and
     that recall vs the brute-force join is exhaustive.
+
+    Bucket-width regime: a chunk carries 64/num_chunks bits, so expected
+    bucket size is N/2^(64/c) — fine up to ~10⁸ docs at c=8. Beyond that,
+    key on CONCATENATIONS of (c−d) chunks instead of single chunks (the
+    block-permutation construction of Manku/Jain/Das Sarma, WWW'07 —
+    public algorithm): same pigeonhole guarantee, exponentially finer
+    buckets, more index rows. Same join shape; swap the key builder.
     """
     num_chunks = max(1, min(max_hamming, 64))
     s = simhash64(docs)

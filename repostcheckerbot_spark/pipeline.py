@@ -64,10 +64,12 @@ def run_batch(
     # docs feeds 4 downstream consumers (signatures, exact join, fuzzy text
     # lookup ×2, CC vertices); checkpoint once instead of recomputing the
     # assembly groupBy per consumer. On a cluster this is the Iceberg
-    # stage-table write; locally an eager in-memory checkpoint.
-    docs = docs.localCheckpoint(eager=True)
+    # stage-table write; locally an in-memory checkpoint. LAZY: the first
+    # consumer's action materializes it — an eager checkpoint is one more
+    # sequential job launch on the driver floor (BENCH/BASELINE.md).
+    docs = docs.localCheckpoint(eager=False)
     candidates, bucket_metrics = generate_candidates(docs, cfg)
-    candidates = candidates.localCheckpoint(eager=True)
+    candidates = candidates.localCheckpoint(eager=False)
     edges = match_edges(docs, candidates, cfg)
 
     if tombstones is not None:
@@ -76,8 +78,9 @@ def run_batch(
             dead.withColumnRenamed("conv_id", "conv_id_a"), "conv_id_a", "left_anti"
         ).join(dead.withColumnRenamed("conv_id", "conv_id_b"), "conv_id_b", "left_anti")
     # edges feed both CC and the caller; checkpoint so the difflib scoring
-    # stage runs exactly once however many consumers follow.
-    edges = edges.localCheckpoint(eager=True)
+    # stage runs exactly once however many consumers follow (lazy — CC's
+    # edge-sizing count is the materializing action).
+    edges = edges.localCheckpoint(eager=False)
 
     clusters = connected_components(
         edges,
