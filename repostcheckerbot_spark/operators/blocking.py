@@ -231,6 +231,61 @@ def candidate_pairs(
     return pairs, bucket_metrics
 
 
+def blocklocal_candidates(docs: DataFrame, cfg: PipelineConfig, max_block: int = 1_000) -> tuple[DataFrame, DataFrame]:
+    """Hybrid candidate generator: grouped ``applyInPandas`` block-local
+    pairing for SMALL blocks, LSH banding only for the big ones.
+
+    Rationale: the composite block key (tool, role_sig) is a strong splitter —
+    most blocks hold a handful of conversations. For a block of size s ≤
+    max_block, enumerating all s·(s−1)/2 pairs in one Arrow group is cheaper
+    than paying ``bands`` band rows per doc plus a banded self-join, and has
+    recall 1.0 within the block by construction. Blocks larger than
+    ``max_block`` (where all-pairs is quadratic poison) route through the
+    banded-LSH path unchanged. Candidate semantics stay a SUPERSET of
+    generate_candidates on the small blocks, identical on the big ones —
+    the fuzzy scorer downstream is the same.
+
+    Returns (pairs, bucket_metrics) like generate_candidates. The split
+    itself is one window count over the block key — same partitioning as the
+    grouped apply, one exchange total.
+    """
+    from pyspark.sql import Window
+
+    key = list(cfg.block_cols)
+    sized = docs.withColumn("_blk_sz", F.count(F.lit(1)).over(Window.partitionBy(*key)))
+    small = sized.where(F.col("_blk_sz") <= max_block).select(*key, "conv_id")
+    big = sized.where(F.col("_blk_sz") > max_block).drop("_blk_sz")
+
+    out_schema = ", ".join(
+        [f"{c} string" for c in key] + ["conv_id_a string", "conv_id_b string"]
+    )
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(pdf["conv_id"].tolist())
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(columns=[*key, "conv_id_a", "conv_id_b"])
+        head = {c: pdf[c].iloc[0] for c in key}
+        a, b = zip(*[(ids[i], ids[j]) for i in range(n) for j in range(i + 1, n)])
+        out = pd.DataFrame({"conv_id_a": a, "conv_id_b": b})
+        for c in key:
+            out[c] = head[c]
+        return out[[*key, "conv_id_a", "conv_id_b"]]
+
+    small_pairs = small.groupBy(*key).applyInPandas(_pairs, schema=out_schema)
+    big_pairs, bucket_metrics = (
+        generate_candidates(big, cfg)
+        if big.limit(1).count()  # skip the whole LSH subplan when no big blocks
+        else (
+            docs.sparkSession.createDataFrame([], out_schema),
+            docs.sparkSession.createDataFrame(
+                [], f"{', '.join(f'{c} string' for c in key)}, band_id int, band_hash bigint, bucket_size long, kept int"
+            ),
+        )
+    )
+    return small_pairs.unionByName(big_pairs), bucket_metrics
+
+
 def generate_candidates(docs: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
     """docs → (candidate pairs, bucket skew metrics). One-stop composition
     (fused text→signature UDF; see with_signature).

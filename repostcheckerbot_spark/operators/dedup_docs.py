@@ -26,7 +26,9 @@ from pyspark.sql import functions as F
 
 
 def normalized(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    return docs.withColumn("norm_text", F.regexp_replace(F.col(text_col), r"\s+", ""))
+    # translate == regexp_replace(\s+ → "") for the Java \s class (see
+    # functions.text.normalize_ws) — same values, no regex pass
+    return docs.withColumn("norm_text", F.translate(F.col(text_col), " \t\n\x0b\f\r", ""))
 
 
 def exact_dedup_groups(docs: DataFrame) -> DataFrame:

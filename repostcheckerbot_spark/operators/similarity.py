@@ -104,6 +104,58 @@ def make_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def make_plane_tables(dim: int, n_tables: int, n_planes: int, seed: int = 42) -> list[list[list[float]]]:
+    """``n_tables`` independent sign-sketch tables (seeded, deterministic)."""
+    return [make_planes(dim, n_planes, seed=seed * 1000 + t) for t in range(n_tables)]
+
+
+def _multi_sketch(df: DataFrame, tables: list[list[list[float]]], id_alias: str, vec_alias: str, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec, table_id, sketch) rows — one per sketch table. Sketches are
+    pure column algebra (plane literals folded into the plan), so this is a
+    narrow ×n_tables explode, no Python at eval time."""
+    out = df
+    for t, planes in enumerate(tables):
+        out = with_sign_sketch(out, planes, vec_col).withColumnRenamed("sketch", f"_sk{t}")
+    sketches = F.array(*[F.struct(F.lit(t).alias("table_id"), F.col(f"_sk{t}").alias("sketch")) for t in range(len(tables))])
+    return (
+        out.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            F.explode(sketches).alias("s"),
+        )
+        .select(id_alias, vec_alias, F.col("s.table_id").alias("table_id"), F.col("s.sketch").alias("sketch"))
+    )
+
+
+def cosine_topk_lsh_multi(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    tables: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table sign-sketch ANN: candidates share ANY table's full sketch
+    (the standard multi-table LSH recall amplifier — one sketch table has
+    P(candidate) = (1−θ/π)^b for angle θ; T independent tables lift recall to
+    1−(1−p)^T at T× candidate cost). One equi-join on (table_id, sketch);
+    exact cosine re-rank; pair dedup before ranking."""
+    corpus = _multi_sketch(embeddings, tables, "corpus_id", "cv", id_col, vec_col)
+    p = _multi_sketch(probes, tables, "probe_id", "pv", id_col, vec_col)
+    scored = (
+        corpus.join(F.broadcast(p), ["table_id", "sketch"])
+        .where(F.col("probe_id") != F.col("corpus_id"))
+        .dropDuplicates(["probe_id", "corpus_id"])
+        .withColumn("cos", F.round(cosine(F.col("pv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("probe_id", "corpus_id", "cos", "rnk")
+    )
+
+
 # --------------------------------------------------------------------------
 # IVF (inverted-file) ANN: coarse quantizer + nprobe search
 # --------------------------------------------------------------------------

@@ -70,7 +70,7 @@ def doc_fingerprint(text_col: Column, k: int = 8) -> Column:
     """Deterministic document fingerprint: the minimum md5 over all k-char
     shingles of the whitespace-stripped text (min-wise sketch of size 1 — the
     portable cousin of a rolling-hash winnowing fingerprint)."""
-    norm = F.regexp_replace(text_col, r"\s+", "")
+    norm = F.translate(text_col, " \t\n\x0b\f\r", "")  # ≡ regexp_replace(\s+,'')
     expr = (
         f"array_min(transform(sequence(1, greatest(length(_n) - {k - 1}, 1)),"
         f" i -> md5(substring(_n, i, {k}))))"

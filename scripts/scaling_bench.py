@@ -92,8 +92,12 @@ def ensure_corpus() -> str:
     tr = spark.createDataFrame(
         pdf, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
     )
+    gw = spark.sparkContext._gateway
     tr.repartition(32).write.mode("overwrite").parquet(path)
     spark.stop()
+    # stop() leaves the py4j gateway JVM alive until THIS process exits — it
+    # would sit at ~10% of a core through every timed run below. Kill it.
+    gw.shutdown()
     return path
 
 
@@ -113,6 +117,14 @@ def run_at(cores: int, job_path: str, zip_path: str, corpus: str) -> dict:
         "lib/python3.11/site-packages/pyspark/bin/spark-submit",
     )
     cmd = [
+        # local[k] alone is NOT a k-core budget: every Python-UDF stage runs k
+        # Python worker processes IN ADDITION to the k JVM task threads, so an
+        # unpinned "local[2]" run consumes ~4 cores during UDF stages — which
+        # inflates low-k throughput and makes every 4× step look ~0.55
+        # efficient. Pinning the whole process tree (JVM, Python workers, GC
+        # threads) to exactly k cores is the faithful sandbox rendering of
+        # "a cluster with k cores total".
+        "taskset", "-c", f"0-{cores - 1}",
         spark_submit,
         "--master", f"local[{cores}]",
         "--conf", f"spark.sql.shuffle.partitions={cores * 2}",

@@ -77,3 +77,43 @@ def test_band_bucket_cap_records_metrics_not_silent(spark):
     assert bucket_metrics.count() > 0
     assert bucket_metrics.agg(F.max("bucket_size")).collect()[0][0] == 20
     assert cands.count() <= 4 * 3 / 2
+
+
+def test_blocklocal_hybrid_candidates(spark):
+    """Small blocks: applyInPandas all-pairs (recall 1.0 within block); big
+    blocks: routed through the banded-LSH path. Union is a superset of the
+    LSH candidates on small blocks, identical on big ones."""
+    import pandas as pd
+
+    from repostcheckerbot_spark.config import PipelineConfig
+    from repostcheckerbot_spark.operators.blocking import blocklocal_candidates, generate_candidates
+
+    cfg = PipelineConfig()
+    base = "the quick brown fox jumps over the lazy dog and keeps running " * 4
+    rows = []
+    # small block: 4 docs under tool 'small' (2 near-dups + 2 unrelated)
+    rows.append(("s1", base, "small", "u"))
+    rows.append(("s2", base[:-20] + "with changed tail xx", "small", "u"))
+    rows.append(("s3", "completely different content here " * 6, "small", "u"))
+    rows.append(("s4", "yet another unrelated doc " * 8, "small", "u"))
+    # big block: 12 docs under tool 'big' — above the max_block=8 cut
+    for i in range(12):
+        rows.append((f"b{i:02d}", base + f" suffix {i}", "big", "u"))
+    docs = spark.createDataFrame(rows, ["conv_id", "norm_text", "tool", "role_sig"])
+
+    pairs, _ = blocklocal_candidates(docs, cfg, max_block=8)
+    got = {(r.conv_id_a, r.conv_id_b) for r in pairs.collect()}
+
+    # small block contributes exactly its all-pairs set
+    small_ids = ["s1", "s2", "s3", "s4"]
+    small_expected = {(a, b) for i, a in enumerate(small_ids) for b in small_ids[i + 1:] if a < b}
+    assert {p for p in got if p[0].startswith("s")} == small_expected
+
+    # big block: identical to the LSH path run on it alone
+    lsh_pairs, _ = generate_candidates(docs.where(F.col("tool") == "big"), cfg)
+    lsh_big = {(r.conv_id_a, r.conv_id_b) for r in lsh_pairs.collect()}
+    assert {p for p in got if p[0].startswith("b")} == lsh_big
+    assert len(lsh_big) > 0  # the near-dup family collides in LSH
+
+    # no cross-block pairs ever
+    assert not any(a[0] != b[0] for a, b in got)

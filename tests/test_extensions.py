@@ -247,3 +247,25 @@ def test_embedding_near_dup_channel_recall(spark):
     assert len(exact) > 100  # the clusters really produce near-dups
     assert got <= exact  # no false accepts (exact re-rank)
     assert len(got) >= 0.9 * len(exact)  # ≥ 0.9 recall with nprobe=2
+
+
+def test_multi_table_lsh_beats_single_table_recall(spark):
+    import random
+
+    rng = random.Random(5)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(200)]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    probes = emb.where(F.col("vec_id") < 10)
+    exact = {(r.probe_id, r.corpus_id) for r in similarity.cosine_topk_bruteforce(emb, probes, k=3).collect()}
+
+    single = similarity.make_planes(dim=16, n_planes=4, seed=7)
+    r1 = {(r.probe_id, r.corpus_id) for r in similarity.cosine_topk_lsh(emb, probes, single, k=3).collect()}
+    # include the single table as table 0: the multi-table candidate set is
+    # then a SUPERSET, so recall can only improve
+    tables = [single] + similarity.make_plane_tables(dim=16, n_tables=5, n_planes=4, seed=7)
+    rT = {(r.probe_id, r.corpus_id) for r in similarity.cosine_topk_lsh_multi(emb, probes, tables, k=3).collect()}
+
+    rec1 = len(exact & r1) / len(exact)
+    recT = len(exact & rT) / len(exact)
+    assert recT >= rec1  # superset candidates ⇒ recall never drops
+    assert recT >= 0.6  # 6 tables × 4 planes on 16-dim gaussians
