@@ -202,18 +202,29 @@ def candidate_pairs(
     slim = banded.select(*key, "conv_id")
 
     # deterministic cap: keep the max_band_bucket smallest conv_ids per bucket.
+    # Shape matters: a window(row_number + count) over ALL banded rows is a
+    # full sort-shuffle of |docs|×bands rows. Buckets above the cap are RARE
+    # (they are the skew being defended against), so: aggregate bucket sizes
+    # (map-side partial, tiny rows), broadcast only the over-cap bucket keys,
+    # route the few rows in those buckets through the ranking window, and let
+    # every other row pass untouched — the big sort disappears.
     from pyspark.sql import Window
 
+    sizes = slim.groupBy(*key).agg(F.count(F.lit(1)).alias("_sz"))
+    big = sizes.where(F.col("_sz") > cfg.max_band_bucket)
+    bucket_metrics = big.select(
+        *key, F.col("_sz").alias("bucket_size"), F.lit(cfg.max_band_bucket).alias("kept")
+    )
+    big_keys = F.broadcast(big.select(*key))
+    small_rows = slim.join(big_keys, key, "left_anti")
     w = Window.partitionBy(*key).orderBy("conv_id")
-    sized = slim.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_sz", F.count(F.lit(1)).over(Window.partitionBy(*key))
+    capped_big = (
+        slim.join(big_keys, key, "left_semi")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cfg.max_band_bucket)
+        .drop("_rn")
     )
-    bucket_metrics = (
-        sized.where(F.col("_sz") > cfg.max_band_bucket)
-        .groupBy(*key)
-        .agg(F.max("_sz").alias("bucket_size"), F.lit(cfg.max_band_bucket).alias("kept"))
-    )
-    capped = sized.where(F.col("_rn") <= cfg.max_band_bucket).drop("_rn", "_sz")
+    capped = small_rows.unionByName(capped_big)
 
     a = capped.alias("a")
     b = capped.alias("b")

@@ -25,6 +25,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism ahead of a CPU-bound Arrow
+    UDF stage. A small parquet file arrives as ONE partition (a single split
+    under files.maxPartitionBytes), which would pin the whole hashing stage to
+    one Python worker — measured 22 s → 3.6 s on the md5-MinHash family at
+    sf0.1. Same rationale as the difflib-stage repartition (scoring.py)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism)
+
+
 def normalized(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # translate == regexp_replace(\s+ → "") for the Java \s class (see
     # functions.text.normalize_ws) — same values, no regex pass
@@ -92,7 +104,7 @@ def minhash_md5_signatures(docs: DataFrame, k: int = 5, num_hashes: int = 8) -> 
     def sig_udf(texts: pd.Series) -> pd.Series:
         return pd.Series([_sig(t) for t in texts])
 
-    return normalized(docs).select("doc_id", sig_udf(F.col("norm_text")).alias("sig"))
+    return _spread(normalized(docs)).select("doc_id", sig_udf(F.col("norm_text")).alias("sig"))
 
 
 def minhash_md5(docs: DataFrame, k: int = 5, num_hashes: int = 8) -> DataFrame:
@@ -266,9 +278,9 @@ def simhash64(docs: DataFrame) -> DataFrame:
             his.append(int((bitval[32:] * weights_lo).sum()))
         return pd.Series([[h, l] for h, l in zip(his, los)])
 
-    return docs.select("doc_id", simhash_udf(F.col("text")).alias("s")).select(
-        "doc_id", F.col("s")[0].alias("sim_hi"), F.col("s")[1].alias("sim_lo")
-    )
+    return _spread(docs.select("doc_id", "text")).select(
+        "doc_id", simhash_udf(F.col("text")).alias("s")
+    ).select("doc_id", F.col("s")[0].alias("sim_hi"), F.col("s")[1].alias("sim_lo"))
 
 
 def simhash_chunk_bounds(num_chunks: int) -> list[tuple[int, int]]:
