@@ -1,0 +1,58 @@
+"""Plan audit over the whole driver-contract query surface: no query may
+plan a CartesianProduct or an ACCIDENTAL BroadcastNestedLoopJoin — the O(N²)
+shapes that killed the reference's scan loop and that r1's simhash join
+regressed into. Non-equi joins are allowed only where they are the DESIGN
+(a broadcast probe batch × corpus, or a cross join against a one-row
+aggregate) and are listed explicitly below."""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: queries whose plan CONTAINS a BroadcastNestedLoopJoin by design:
+#: - cosine_pairs / cosine_topk_bruteforce / ann_recall_ivf: broadcast probe
+#:   batch × corpus with a non-equi self-exclusion — the probe side is small
+#:   and broadcast; the corpus is never shuffled (the correct exact-scan shape).
+#: - events_retention / time_ago_render / events_location_sweep /
+#:   location_upgrade_render: cross join against a ONE-ROW max(ts) aggregate.
+#: - ngram_jaccard / union_match_strategies: cross join against a ONE-ROW
+#:   corpus-count aggregate (the DF-cap threshold).
+ALLOWED_BNLJ = {
+    "cosine_pairs",
+    "cosine_topk_bruteforce",
+    "ann_recall_ivf",
+    "events_retention",
+    "time_ago_render",
+    "events_location_sweep",
+    "location_upgrade_render",
+    "ngram_jaccard",
+    "union_match_strategies",
+}
+
+#: queries that EXECUTE jobs while building (full pipeline / iterative CC) —
+#: their plan discipline is asserted by their own tests (test_pipeline,
+#: test_extensions) and they are too slow to audit as a plan string here.
+SKIP = {"transcripts_flagship_clusters"}
+
+
+def _audited_names():
+    import __spark_entry__ as ent
+
+    return sorted(set(ent.queries()) - SKIP)
+
+
+@pytest.mark.parametrize("name", _audited_names())
+def test_no_accidental_nested_loop_joins(spark, name):
+    import __spark_entry__ as ent
+
+    df = ent.queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+    if name not in ALLOWED_BNLJ:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a BroadcastNestedLoopJoin — either fix the join "
+            f"(equi-join rewrite) or, if the non-equi shape is the design, "
+            f"add it to ALLOWED_BNLJ with a justification"
+        )
