@@ -85,7 +85,12 @@ def _q_lsh_candidates(spark, sf):
 
 
 def _q_ngram_jaccard(spark, sf):
-    return dedup_docs.ngram_jaccard_pairs(load(spark, sf, "documents"), k=5, min_jaccard=0.3)
+    # explicit opt-in to the DF cap (rare-shingle Jaccard — the scale
+    # statistic; the oracle SQL mirrors the cap verbatim). The library default
+    # is the exact uncapped statistic.
+    return dedup_docs.ngram_jaccard_pairs(
+        load(spark, sf, "documents"), k=5, min_jaccard=0.3, max_df_frac=dedup_docs.NGRAM_MAX_DF_FRAC
+    )
 
 
 def _q_simhash(spark, sf):
@@ -220,7 +225,9 @@ def _q_first_event_per_user(spark, sf):
 def _q_union_match_strategies(spark, sf):
     exact = _q_exact_dup_edges(spark, sf).select("doc_id_a", "doc_id_b").withColumn("method", F.lit("exact"))
     fuzzy = (
-        dedup_docs.ngram_jaccard_pairs(load(spark, sf, "documents"), k=5, min_jaccard=0.9)
+        dedup_docs.ngram_jaccard_pairs(
+            load(spark, sf, "documents"), k=5, min_jaccard=0.9, max_df_frac=dedup_docs.NGRAM_MAX_DF_FRAC
+        )
         .select("doc_id_a", "doc_id_b")
         .join(exact.select("doc_id_a", "doc_id_b"), ["doc_id_a", "doc_id_b"], "left_anti")
         .withColumn("method", F.lit("fuzzy"))

@@ -55,7 +55,11 @@ def assemble_docs(transcripts: DataFrame) -> DataFrame:
             turns.alias("turns"),
             F.min("ts").alias("first_ts"),
             F.count(F.lit(1)).alias("n_turns"),
-            F.min_by("tool", "turn_idx").alias("tool"),
+            # composite ordering: plain min_by(tool, turn_idx) is
+            # NONDETERMINISTIC when turn_idx repeats within a conversation —
+            # the struct tiebreak (text, role, tool) restores the array_sort
+            # determinism the r1 turns[0].tool path had.
+            F.min_by("tool", F.struct("turn_idx", "text", "role", "tool")).alias("tool"),
         )
         .select(
             "conv_id",

@@ -202,32 +202,42 @@ def candidate_pairs(
     slim = banded.select(*key, "conv_id")
 
     # deterministic cap: keep the max_band_bucket smallest conv_ids per bucket.
-    # Shape matters: a window(row_number + count) over ALL banded rows is a
-    # full sort-shuffle of |docs|×bands rows. Buckets above the cap are RARE
-    # (they are the skew being defended against), so: aggregate bucket sizes
-    # (map-side partial, tiny rows), broadcast only the over-cap bucket keys,
-    # route the few rows in those buckets through the ranking window, and let
-    # every other row pass untouched — the big sort disappears.
+    # Shape matters MORE than operator count: the self-join below must shuffle
+    # on ``key`` anyway, so ranking with a window PARTITIONED ON THE JOIN KEY
+    # rides that same exchange — the sort is nearly free and, because both
+    # join sides are the identical subplan, ReuseExchange computes the
+    # signature UDF exactly once. (An r2 variant replaced the window with a
+    # sizes-aggregate + broadcast anti/semi + union to avoid the sort; it
+    # broke exchange reuse, recomputed the UDF per branch, and regressed the
+    # flagship ~48% — reverted, with the bucket size now computed inside the
+    # SAME window pass so the skew metrics cost no extra aggregation.)
     from pyspark.sql import Window
 
-    sizes = slim.groupBy(*key).agg(F.count(F.lit(1)).alias("_sz"))
-    big = sizes.where(F.col("_sz") > cfg.max_band_bucket)
-    bucket_metrics = big.select(
-        *key, F.col("_sz").alias("bucket_size"), F.lit(cfg.max_band_bucket).alias("kept")
+    w_rank = Window.partitionBy(*key).orderBy("conv_id")
+    w_size = Window.partitionBy(*key)
+    ranked = slim.select(
+        *key,
+        "conv_id",
+        F.row_number().over(w_rank).alias("_rn"),
+        F.count(F.lit(1)).over(w_size).alias("_sz"),
     )
-    big_keys = F.broadcast(big.select(*key))
-    small_rows = slim.join(big_keys, key, "left_anti")
-    w = Window.partitionBy(*key).orderBy("conv_id")
-    capped_big = (
-        slim.join(big_keys, key, "left_semi")
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= cfg.max_band_bucket)
-        .drop("_rn")
-    )
-    capped = small_rows.unionByName(capped_big)
+    capped = ranked.where(F.col("_rn") <= cfg.max_band_bucket)
+    # over-cap buckets: one row each (the _rn==1 representative carries the
+    # full pre-cap size) — derived from `capped`, so any persist of the
+    # candidate frame covers the metrics too.
+    bucket_metrics = capped.where(
+        (F.col("_rn") == 1) & (F.col("_sz") > cfg.max_band_bucket)
+    ).select(*key, F.col("_sz").alias("bucket_size"), F.lit(cfg.max_band_bucket).alias("kept"))
+    capped = capped.drop("_rn", "_sz")
 
     a = capped.alias("a")
-    b = capped.alias("b")
+    # SHUFFLE_MERGE: Catalyst's static size estimate broadcasts the banded
+    # side at small SF, which plans a BroadcastExchange over a SECOND copy of
+    # the assembly+signature subtree (the UDF runs twice). A sort-merge join
+    # shuffles both sides on `key` with IDENTICAL subplans → ReuseExchange
+    # computes the subtree once — and is the only join that exists at 100 TB
+    # anyway (the banded side is never broadcastable at scale).
+    b = capped.hint("SHUFFLE_MERGE").alias("b")
     join_cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in key]
     pairs = (
         a.join(b, join_cond, "inner")
@@ -263,12 +273,33 @@ def blocklocal_candidates(docs: DataFrame, cfg: PipelineConfig, max_block: int =
     from pyspark.sql import Window
 
     key = list(cfg.block_cols)
-    sized = docs.withColumn("_blk_sz", F.count(F.lit(1)).over(Window.partitionBy(*key)))
+    # one window pass computes the split; LAZY checkpoint so the split frame
+    # (and the assembly groupBy underneath it) materializes once even though
+    # three consumers follow (the emptiness probe, small, big) — without it
+    # the probe's `limit(1).count()` was a full extra job per call.
+    sized = docs.withColumn(
+        "_blk_sz", F.count(F.lit(1)).over(Window.partitionBy(*key))
+    ).localCheckpoint(eager=False)
     small = sized.where(F.col("_blk_sz") <= max_block).select(*key, "conv_id")
     big = sized.where(F.col("_blk_sz") > max_block).drop("_blk_sz")
 
-    out_schema = ", ".join(
-        [f"{c} string" for c in key] + ["conv_id_a string", "conv_id_b string"]
+    # schemas DERIVE from the input frame: block cols keep their real types
+    # (role_sig is bigint in the production DOC_COLS shape — hardcoding
+    # `string` made Arrow reject the int64 column at eval time).
+    in_fields = {f.name: f for f in docs.schema.fields}
+    id_type = in_fields["conv_id"].dataType
+    out_schema = T.StructType(
+        [T.StructField(c, in_fields[c].dataType, in_fields[c].nullable) for c in key]
+        + [T.StructField("conv_id_a", id_type, False), T.StructField("conv_id_b", id_type, False)]
+    )
+    metrics_schema = T.StructType(
+        [T.StructField(c, in_fields[c].dataType, in_fields[c].nullable) for c in key]
+        + [
+            T.StructField("band_id", T.IntegerType(), False),
+            T.StructField("band_hash", T.LongType(), False),
+            T.StructField("bucket_size", T.LongType(), False),
+            T.StructField("kept", T.IntegerType(), False),
+        ]
     )
 
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -289,9 +320,7 @@ def blocklocal_candidates(docs: DataFrame, cfg: PipelineConfig, max_block: int =
         if big.limit(1).count()  # skip the whole LSH subplan when no big blocks
         else (
             docs.sparkSession.createDataFrame([], out_schema),
-            docs.sparkSession.createDataFrame(
-                [], f"{', '.join(f'{c} string' for c in key)}, band_id int, band_hash bigint, bucket_size long, kept int"
-            ),
+            docs.sparkSession.createDataFrame([], metrics_schema),
         )
     )
     return small_pairs.unionByName(big_pairs), bucket_metrics

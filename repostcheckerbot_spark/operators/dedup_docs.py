@@ -181,10 +181,16 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     k: int = 5,
     min_jaccard: float = 0.3,
-    max_df_frac: float | None = NGRAM_MAX_DF_FRAC,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
-    """Exact character-k-gram Jaccard similarity join (doc_id_a < doc_id_b),
-    computed over the RARE-shingle sets (document frequency ≤ max_df_frac·N).
+    """Exact character-k-gram Jaccard similarity join (doc_id_a < doc_id_b).
+
+    DEFAULT IS THE EXACT STATISTIC (``max_df_frac=None``): Jaccard over the
+    full k-gram sets. Scale-sensitive call sites opt into the DF cap
+    explicitly (``max_df_frac=NGRAM_MAX_DF_FRAC``), which changes the
+    statistic to Jaccard over the RARE-shingle sets (document frequency ≤
+    max_df_frac·N) — a deliberate semantic change that must be visible at the
+    call site, not a silent library default.
 
     Set-based plan: explode distinct shingles → drop hot shingles (one
     ubiquitous k-gram would place a large fraction of all docs in a single

@@ -117,30 +117,56 @@ class IncrementalPipeline:
             .dropDuplicates(["conv_id_a", "conv_id_b"])
         )
 
-        # ---- fuzzy candidates: batch bands ⋈ (corpus ∪ batch) bands ---------
-        # Same deterministic bucket cap as the batch path (blocking.py:21-27):
-        # a band bucket larger than max_band_bucket is near-certainly an
-        # exact-dup group (already starred above) and uncapped it yields
-        # O(s·batch) candidate rows. Capped bucket count is recorded — never a
-        # silent drop.
-        all_bands = batch_bands if self.corpus_bands() is None else self.corpus_bands().unionByName(batch_bands)
+        # ---- fuzzy candidates: batch bands ⋈ colliding corpus bands ---------
+        # I/O ∝ BATCH, not corpus: only corpus bands whose full band key
+        # collides with a batch band can ever produce a candidate, so the
+        # corpus side is (1) bucket-pruned at scan time (corpus_bands is
+        # hash-bucketed by band_hash) and (2) semi-joined against the
+        # BROADCAST batch band keys BEFORE any capping — the r2 shape ran the
+        # whole corpus band set through a ranking window every micro-batch.
+        # The surviving pool (colliding buckets only) is capped with the same
+        # deterministic smallest-conv_id rule as the batch path
+        # (blocking.py:21-27) and eagerly checkpointed: it is tiny (≤ cap ×
+        # colliding buckets), and the metrics counts + candidate join all read
+        # the materialized pool instead of rescanning the corpus.
         from pyspark.sql import Window
 
-        wkey = Window.partitionBy(*key).orderBy("conv_id")
+        batch_keys = batch_bands.select(*key).distinct()
+        if self.wh.exists("corpus_bands"):
+            corpus_pruned, pruning = self.wh.read_bucket_pruned(
+                "corpus_bands", batch_bands.select("band_hash"), "band_hash"
+            )
+            colliding = corpus_pruned.select(*key, "conv_id").join(
+                F.broadcast(batch_keys), key, "left_semi"
+            )
+            pool = colliding.unionByName(batch_bands)
+        else:
+            pool, pruning = batch_bands, {"buckets_read": 0, "buckets_total": None}
+        w_rank = Window.partitionBy(*key).orderBy("conv_id")
+        w_size = Window.partitionBy(*key)
         capped = (
-            all_bands.withColumn("_rn", F.row_number().over(wkey))
+            pool.select(
+                *key,
+                "conv_id",
+                F.row_number().over(w_rank).alias("_rn"),
+                F.count(F.lit(1)).over(w_size).alias("_sz"),
+            )
             .where(F.col("_rn") <= cfg.max_band_bucket)
-            .drop("_rn")
+            .localCheckpoint(eager=True)
         )
-        n_capped = (
-            all_bands.groupBy(*key).agg(F.count(F.lit(1)).alias("_sz"))
-            .where(F.col("_sz") > cfg.max_band_bucket)
-            .count()
+        heads = capped.where(F.col("_rn") == 1).agg(
+            F.sum("_sz").alias("pool_rows"),
+            F.sum((F.col("_sz") > cfg.max_band_bucket).cast("long")).alias("n_capped"),
+        ).collect()[0]
+        metrics.record_count(
+            "ingest.probe_pool_bands", heads["pool_rows"] or 0, **pruning
         )
-        metrics.record_count("ingest.capped_band_buckets", n_capped, cap=cfg.max_band_bucket)
+        metrics.record_count(
+            "ingest.capped_band_buckets", heads["n_capped"] or 0, cap=cfg.max_band_bucket
+        )
         cand = (
             batch_bands.withColumnRenamed("conv_id", "conv_id_new")
-            .join(capped.withColumnRenamed("conv_id", "conv_id_old"), key)
+            .join(capped.drop("_rn", "_sz").withColumnRenamed("conv_id", "conv_id_old"), key)
             .where(F.col("conv_id_old") != F.col("conv_id_new"))
             .select(
                 F.least("conv_id_old", "conv_id_new").alias("conv_id_a"),
@@ -202,18 +228,27 @@ class IncrementalPipeline:
             buckets_touched=stats["buckets_touched"],
             buckets_total=stats["buckets_total"],
         )
-        if self.wh.exists("corpus_bands"):
-            self.wh.append("corpus_bands", batch_bands)
-        else:
-            self.wh.overwrite("corpus_bands", batch_bands)
-
-        old_edges = self.edges()
-        all_edges = new_edges if old_edges is None else old_edges.unionByName(new_edges).dropDuplicates(
-            ["conv_id_a", "conv_id_b"]
+        # corpus_bands: hash-bucketed by band_hash (append-only — band rows
+        # are immutable per conv) so the probe above prunes buckets at scan
+        self.wh.append_bucketed(
+            "corpus_bands", batch_bands, key="band_hash", n_buckets=cfg.warehouse_buckets
         )
-        # staging-dir + rename swap: all_edges lazily READS the edges path, so
-        # a plain overwrite of the same path is committer-dependent data loss
-        self.wh.upsert_replace("edges", all_edges)
+
+        # edges: bucketed MERGE on the pair key (bucketed by conv_id_a) — the
+        # r2 cut rewrote + dropDuplicates'd the FULL edge history every batch;
+        # now write I/O ∝ new edges' buckets.
+        edge_stats = self.wh.upsert(
+            "edges",
+            new_edges.dropDuplicates(["conv_id_a", "conv_id_b"]),
+            key=["conv_id_a", "conv_id_b"],
+            n_buckets=cfg.warehouse_buckets,
+        )
+        metrics.record_count(
+            "ingest.upsert_edges",
+            edge_stats["rows_written"] or 0,
+            buckets_touched=edge_stats["buckets_touched"],
+            buckets_total=edge_stats["buckets_total"],
+        )
         all_edges = self.wh.read("edges")
 
         # ---- implicit-cluster growth: CC over old ∪ new edges ---------------
@@ -238,14 +273,44 @@ class IncrementalPipeline:
         DataFrame end-to-end (anti-join deletes in Warehouse.delete_keys) —
         never collected; a sweep expiring millions of rows costs the driver
         nothing. Clusters are recomputed from the surviving edge set so no
-        stale memberships (or cluster ids naming purged convs) remain."""
+        stale memberships (or cluster ids naming purged convs) remain.
+
+        Exact-star healing: exact edges are STARS to the per-sha group min
+        (process_batch), so deleting the rep would disconnect the surviving
+        copies — their only edges pointed at the deleted conv. Before the
+        delete, re-star every sha group that loses a member: emit edges from
+        each surviving member to the group's new min. Groups that lost no
+        member, or whose rep survives, get only duplicate pairs — deduped by
+        the edges MERGE. This keeps the reference's probe-all connectivity
+        (database.py:328-358) under TTL/tombstone churn."""
         # materialize: the keys are derived from tables the deletes rewrite
         dead = dead.select("conv_id").distinct().localCheckpoint(eager=True)
+        restar = None
+        if self.wh.exists("corpus_docs") and self.wh.exists("edges"):
+            docs = self.wh.read("corpus_docs").select("conv_id", "doc_sha")
+            dead_shas = docs.join(dead, "conv_id", "left_semi").select("doc_sha").distinct()
+            survivors = docs.join(dead, "conv_id", "left_anti").join(
+                dead_shas, "doc_sha", "left_semi"
+            )
+            new_reps = survivors.groupBy("doc_sha").agg(F.min("conv_id").alias("rep"))
+            restar = (
+                survivors.join(new_reps, "doc_sha")
+                .where(F.col("conv_id") != F.col("rep"))
+                .select(
+                    F.col("rep").alias("conv_id_a"),
+                    F.col("conv_id").alias("conv_id_b"),
+                    F.lit(100.0).alias("score"),
+                    F.lit("exact").alias("method"),
+                )
+                .localCheckpoint(eager=True)  # compute BEFORE the rewrites below
+            )
         n = self.wh.delete_keys("corpus_docs", dead, "conv_id")
         if self.wh.exists("corpus_bands"):
             self.wh.delete_keys("corpus_bands", dead, "conv_id")
         if self.wh.exists("edges"):
             self.wh.delete_keys("edges", dead, ["conv_id_a", "conv_id_b"])
+            if restar is not None:
+                self.wh.upsert("edges", restar, key=["conv_id_a", "conv_id_b"])
         if n and self.wh.exists("clusters"):
             self.recompute_clusters()
         return n

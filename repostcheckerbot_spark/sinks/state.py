@@ -77,12 +77,50 @@ class Warehouse:
         w.parquet(self._path(table))
 
     def append(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
+        meta = self._read_table_meta(table)
+        if meta.get("n_buckets"):
+            df = df.withColumn("_bucket", self._bucket_col(meta["bucket_key"], int(meta["n_buckets"])))
+            df.write.mode("append").partitionBy("_bucket").parquet(self._path(table))
+            return
         w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self._path(table))
 
-    def upsert(self, table: str, df: DataFrame, key: str, n_buckets: int | None = None) -> dict:
+    def append_bucketed(self, table: str, df: DataFrame, key: str, n_buckets: int) -> None:
+        """Append rows into a hash-bucketed layout (``_bucket =
+        pmod(xxhash64(key), n_buckets)``), creating the table + meta on first
+        write. Unlike :meth:`upsert` there is no key dedup — this is the
+        Iceberg ``bucket(key)``-partitioned APPEND for tables whose key is not
+        unique (e.g. corpus_bands: many rows per band_hash)."""
+        df2 = df.withColumn("_bucket", self._bucket_col(key, n_buckets))
+        if not self.exists(table):
+            df2.write.mode("overwrite").partitionBy("_bucket").parquet(self._path(table))
+            self._write_table_meta(
+                table, {"n_buckets": n_buckets, "bucket_key": key, "schema": df2.schema.json()}
+            )
+            return
+        df2.write.mode("append").partitionBy("_bucket").parquet(self._path(table))
+
+    def read_bucket_pruned(self, table: str, keys: DataFrame, key_col: str) -> tuple[DataFrame, dict]:
+        """Read only the buckets that can contain ``keys[key_col]`` values —
+        scan-time partition pruning for probe workloads. Returns (frame,
+        {"buckets_read", "buckets_total"}); falls back to a full read when the
+        table isn't bucketed on ``key_col``. The touched-bucket list is ≤
+        n_buckets small ints (bounded driver value, not a key collect)."""
+        meta = self._read_table_meta(table)
+        n = meta.get("n_buckets")
+        if not n or meta.get("bucket_key") != key_col:
+            return self.read(table), {"buckets_read": None, "buckets_total": n}
+        kname = keys.columns[0] if key_col not in keys.columns else key_col
+        kb = keys.select(
+            F.pmod(F.xxhash64(F.col(kname)), F.lit(int(n))).cast("int").alias("_b")
+        ).distinct()
+        touched = [r["_b"] for r in kb.collect()]
+        df = self._read_raw(table).where(F.col("_bucket").isin(touched)).drop("_bucket")
+        return df, {"buckets_read": len(touched), "buckets_total": int(n)}
+
+    def upsert(self, table: str, df: DataFrame, key: str | list[str], n_buckets: int | None = None) -> dict:
         """MERGE-style idempotent upsert (reference ST5: re-sweeps tolerated
         because the Url probe short-circuits, database.py:328-358).
 
@@ -104,50 +142,55 @@ class Warehouse:
         Returns {"rows_written", "buckets_touched", "buckets_total"} so
         callers can record merge I/O in the metrics lineage.
         """
+        keys = [key] if isinstance(key, str) else list(key)
         meta = self._read_table_meta(table)
         n_buckets = n_buckets or meta.get("n_buckets")
         if n_buckets:
-            return self._upsert_bucketed(table, df, key, int(n_buckets))
+            return self._upsert_bucketed(table, df, keys, int(n_buckets))
         if not self.exists(table):
             self.overwrite(table, df)
             return {"rows_written": None, "buckets_touched": None, "buckets_total": None}
         current = self.read(table)
-        merged = current.join(df.select(key), key, "left_anti").unionByName(df)
+        merged = current.join(df.select(*keys).distinct(), keys, "left_anti").unionByName(df)
         self.upsert_replace(table, merged)
         return {"rows_written": None, "buckets_touched": None, "buckets_total": None}
 
     def _bucket_col(self, key: str, n_buckets: int):
         return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
 
-    def _upsert_bucketed(self, table: str, df: DataFrame, key: str, n_buckets: int) -> dict:
+    def _upsert_bucketed(self, table: str, df: DataFrame, keys: list[str], n_buckets: int) -> dict:
+        """Bucketed MERGE. Buckets hash on ``keys[0]``; the matched-row
+        rewrite anti-joins on ALL key columns (composite keys supported, e.g.
+        edges on (conv_id_a, conv_id_b) bucketed by conv_id_a)."""
         path = self._path(table)
-        df2 = df.withColumn("_bucket", self._bucket_col(key, n_buckets))
+        df2 = df.withColumn("_bucket", self._bucket_col(keys[0], n_buckets))
         if not self.exists(table):
             df2.write.mode("overwrite").partitionBy("_bucket").parquet(path)
             self._write_table_meta(
                 table,
-                {"n_buckets": n_buckets, "bucket_key": key, "schema": df2.schema.json()},
+                {"n_buckets": n_buckets, "bucket_key": keys[0], "merge_keys": keys, "schema": df2.schema.json()},
             )
-            n = self.spark.read.parquet(path).count()
+            # _read_raw, not spark.read: a 0-row create leaves no parquet
+            # files to infer from — the meta schema reconstructs the frame
+            n = self._read_raw(table).count()
             return {"rows_written": n, "buckets_touched": n_buckets, "buckets_total": n_buckets}
         # the touched-bucket list is ≤ n_buckets small ints — a bounded
         # driver-side value, NOT a key collect
         touched = [r["_bucket"] for r in df2.select("_bucket").distinct().collect()]
         current = self._read_raw(table).where(F.col("_bucket").isin(touched))
         merged = (
-            current.join(df2.select(key).distinct(), key, "left_anti")
+            current.join(df2.select(*keys).distinct(), keys, "left_anti")
             .unionByName(df2)
             # materialize BEFORE overwriting the path being read (classic
             # read-then-overwrite footgun; the staging protocol equivalent)
             .localCheckpoint(eager=True)
         )
         rows = merged.count()
-        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            merged.write.mode("overwrite").partitionBy("_bucket").parquet(path)
-        finally:
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # per-write option — scoped to this write, unlike the session conf
+        # (a session-global toggle races with concurrent writers)
+        merged.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy(
+            "_bucket"
+        ).parquet(path)
         return {"rows_written": rows, "buckets_touched": len(touched), "buckets_total": n_buckets}
 
     def delete_keys(self, table: str, keys: DataFrame, cols: list[str] | str) -> int:
@@ -196,12 +239,9 @@ class Warehouse:
         if n_after == n_before:
             return 0
         remaining = {r["_bucket"] for r in keep.select("_bucket").distinct().collect()}
-        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            keep.write.mode("overwrite").partitionBy("_bucket").parquet(path)
-        finally:
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        keep.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy(
+            "_bucket"
+        ).parquet(path)
         for b in set(touched) - remaining:  # fully-emptied buckets
             shutil.rmtree(f"{path}/_bucket={b}", ignore_errors=True)
         return n_before - n_after

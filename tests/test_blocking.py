@@ -92,14 +92,17 @@ def test_blocklocal_hybrid_candidates(spark):
     base = "the quick brown fox jumps over the lazy dog and keeps running " * 4
     rows = []
     # small block: 4 docs under tool 'small' (2 near-dups + 2 unrelated)
-    rows.append(("s1", base, "small", "u"))
-    rows.append(("s2", base[:-20] + "with changed tail xx", "small", "u"))
-    rows.append(("s3", "completely different content here " * 6, "small", "u"))
-    rows.append(("s4", "yet another unrelated doc " * 8, "small", "u"))
+    # role_sig is BIGINT, matching the production assemble_docs/DOC_COLS shape
+    # (a string here used to mask an Arrow schema mismatch in the grouped
+    # apply's hardcoded out_schema — now derived from the input types)
+    rows.append(("s1", base, "small", 7))
+    rows.append(("s2", base[:-20] + "with changed tail xx", "small", 7))
+    rows.append(("s3", "completely different content here " * 6, "small", 7))
+    rows.append(("s4", "yet another unrelated doc " * 8, "small", 7))
     # big block: 12 docs under tool 'big' — above the max_block=8 cut
     for i in range(12):
-        rows.append((f"b{i:02d}", base + f" suffix {i}", "big", "u"))
-    docs = spark.createDataFrame(rows, ["conv_id", "norm_text", "tool", "role_sig"])
+        rows.append((f"b{i:02d}", base + f" suffix {i}", "big", 7))
+    docs = spark.createDataFrame(rows, "conv_id string, norm_text string, tool string, role_sig bigint")
 
     pairs, _ = blocklocal_candidates(docs, cfg, max_block=8)
     got = {(r.conv_id_a, r.conv_id_b) for r in pairs.collect()}

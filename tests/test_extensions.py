@@ -174,9 +174,16 @@ def test_ngram_hot_shingle_cap_bounds_skew(spark):
     dropped = {r.sh: r.df for r in dedup_docs.hot_shingles(d, k=5).collect()}
     assert {"HOTHO", "OTHOT", "THOTH"} <= set(dropped)
     assert all(df == n // 2 for df in dropped.values())
-    pairs = dedup_docs.ngram_jaccard_pairs(d, k=5, min_jaccard=0.05).collect()
+    pairs = dedup_docs.ngram_jaccard_pairs(
+        d, k=5, min_jaccard=0.05, max_df_frac=dedup_docs.NGRAM_MAX_DF_FRAC
+    ).collect()
     # docs share ONLY the hot shingles → after the cap they share ~nothing
     assert pairs == []
+    # the DEFAULT is the exact statistic: the same corpus DOES pair on the
+    # shared hot run when no cap is requested (the cap is an explicit opt-in,
+    # never a silent semantics change)
+    exact_pairs = dedup_docs.ngram_jaccard_pairs(d, k=5, min_jaccard=0.05).collect()
+    assert len(exact_pairs) > 0
 
 
 def test_minhash_md5_udf_matches_host_formula(spark):

@@ -159,3 +159,61 @@ def test_bucketed_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     out = wh.read("t")
     assert out.count() == 10_001
     assert {r.v for r in out.where(F.col("conv_id").isin("c5", "cNEW")).collect()} == {2}
+
+
+def test_band_probe_io_proportional_to_batch(spark, pipe):
+    """The fuzzy probe must touch colliding corpus bands only — a small batch
+    against a big corpus of UNRELATED texts puts ~0 corpus bands through the
+    cap/join (r2 ran the full corpus band set through a window per batch).
+    Asserted via the ingest.probe_pool_bands metrics lineage row."""
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha", "bravo", "carol", "delta", "echoes", "fortan", "golfed", "hotelz"]
+
+    def _text(i):
+        return " ".join(rng.choice(words) + str(rng.randrange(10_000)) for _ in range(40))
+
+    corpus_rows = []
+    for i in range(120):
+        corpus_rows += _conv(f"c{i:04d}", [_text(i), _text(i + 1000)])
+    pipe.process_batch(_turns(spark, corpus_rows))
+
+    batch_rows = _conv("probe01", [_text(5000), _text(6000)], ts=TS + timedelta(days=1))
+    pipe.process_batch(_turns(spark, batch_rows))
+
+    m = (
+        pipe.wh.read("_metrics")
+        .where(F.col("stage") == "ingest.probe_pool_bands")
+        .orderBy(F.desc("recorded_at"))
+        .limit(1)
+        .collect()[0]
+    )
+    n_corpus_bands = pipe.wh.read("corpus_bands").count()
+    batch_bands = pipe.cfg.bands  # 1 doc × bands
+    # pool = batch bands + colliding corpus bands; unrelated texts ⇒ ~none
+    assert m["rows_out"] <= batch_bands * 3, (m["rows_out"], n_corpus_bands)
+    assert m["rows_out"] < n_corpus_bands / 10
+
+
+def test_purge_heals_exact_star_when_rep_deleted(spark, pipe):
+    """Exact edges are stars to the sha-group min; purging the rep must NOT
+    disconnect the surviving copies (ADVICE r2): after deleting the oldest
+    copy, the remaining two still share a cluster."""
+    pipe.process_batch(_turns(spark, _conv("c_old", BASE)))
+    pipe.process_batch(_turns(spark, _conv("d_mid", BASE, ts=TS + timedelta(days=1))))
+    pipe.process_batch(_turns(spark, _conv("e_new", BASE, ts=TS + timedelta(days=2))))
+    clusters = {r.conv_id: r.cluster_id for r in pipe.wh.read("clusters").collect()}
+    assert clusters == {"c_old": "c_old", "d_mid": "c_old", "e_new": "c_old"}
+
+    # purge the rep (the star center)
+    dead = spark.createDataFrame([("c_old",)], "conv_id string")
+    n = pipe.purge_deleted(dead)
+    assert n == 1
+    clusters = {r.conv_id: r.cluster_id for r in pipe.wh.read("clusters").collect()}
+    assert clusters == {"d_mid": "d_mid", "e_new": "d_mid"}
+
+    # and the healed star keeps working for future probes
+    r = pipe.process_batch(_turns(spark, _conv("f_fut", BASE, ts=TS + timedelta(days=3))))
+    clusters = {r.conv_id: r.cluster_id for r in r["clusters"].collect()}
+    assert clusters == {"d_mid": "d_mid", "e_new": "d_mid", "f_fut": "d_mid"}
