@@ -349,8 +349,8 @@ def _q_cosine_topk_ivf(spark, sf):
         "embedding", F.expr("transform(embedding, x -> cast(x as double))")
     )
     probes = emb.where(F.col("vec_id") < 10)
-    cents = similarity.sample_centroids(emb, n_centroids=8)
-    return similarity.cosine_topk_ivf(emb, probes, cents, k=5, nprobe=3)
+    cents = similarity.kmeans_centroids(emb, n_centroids=8)
+    return similarity.cosine_topk_ivf(emb, probes, cents, k=5, nprobe=4)
 
 
 def _q_ann_recall_ivf(spark, sf):
@@ -361,8 +361,8 @@ def _q_ann_recall_ivf(spark, sf):
         "embedding", F.expr("transform(embedding, x -> cast(x as double))")
     )
     probes = emb.where(F.col("vec_id") < 10)
-    cents = similarity.sample_centroids(emb, n_centroids=8)
-    ann = similarity.cosine_topk_ivf(emb, probes, cents, k=5, nprobe=3)
+    cents = similarity.kmeans_centroids(emb, n_centroids=8)
+    ann = similarity.cosine_topk_ivf(emb, probes, cents, k=5, nprobe=4)
     brute = similarity.cosine_topk_bruteforce(emb, probes, k=5)
     return similarity.ann_recall(ann, brute)
 
@@ -375,7 +375,7 @@ def _q_embedding_near_dups(spark, sf):
     emb = load(spark, sf, "embeddings").withColumn(
         "embedding", F.expr("transform(embedding, x -> cast(x as double))")
     )
-    cents = similarity.sample_centroids(emb, n_centroids=8)
+    cents = similarity.kmeans_centroids(emb, n_centroids=8)
     return similarity.embedding_near_dup_pairs(emb, cents, min_cos=0.4, nprobe=8)
 
 
@@ -920,6 +920,25 @@ def oracle_sql() -> dict[str, str]:
               FROM e p JOIN e c ON p.vec_id < 20 AND c.vec_id <> p.vec_id
             )
             SELECT probe_id, corpus_id, cos FROM scored WHERE cos >= 0.25
+        """,
+        "cosine_topk_bruteforce": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            scored AS (
+              SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+                     CAST(round(
+                       list_dot_product(p.v, c.v)
+                       / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v)))
+                     , 6) AS DOUBLE) AS cos
+              FROM e p JOIN e c ON p.vec_id < 10 AND c.vec_id <> p.vec_id
+            ),
+            ranked AS (
+              SELECT probe_id, corpus_id, cos,
+                     CAST(row_number() OVER (
+                       PARTITION BY probe_id ORDER BY cos DESC, corpus_id ASC
+                     ) AS INT) AS rnk
+              FROM scored
+            )
+            SELECT probe_id, corpus_id, cos, rnk FROM ranked WHERE rnk <= 5
         """,
         "embedding_near_dups": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -160,14 +160,69 @@ def cosine_topk_lsh_multi(
 # IVF (inverted-file) ANN: coarse quantizer + nprobe search
 # --------------------------------------------------------------------------
 def sample_centroids(embeddings: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding") -> list[list[float]]:
-    """Deterministic coarse quantizer: the ``n_centroids`` smallest-id vectors
-    (k-means init placeholder — at cluster scale run k-means|| offline and
-    persist the codebook; the search path below is unchanged). k×dim floats:
-    a legitimately driver-sized artifact, broadcast into the assignment UDF."""
+    """First-N-by-id coarse quantizer — a DEGENERATE baseline kept only so
+    tests can demonstrate why it is insufficient (on clustered embeddings the
+    first N ids may all fall in one cluster, skewing cells and sinking
+    recall). Production call sites use :func:`kmeans_centroids`."""
     rows = (
         embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
     )
     return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    n_iter: int = 10,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer over a deterministic sample.
+
+    - sample: the ``sample_size`` rows with smallest ``xxhash64(seed || id)``
+      — a seeded pseudo-random sample that is identical across runs and
+      engines (no RNG state), collected to the driver (bounded: sample_size ×
+      dim floats).
+    - init: greedy maximin / k-center (Gonzalez 1985, public algorithm):
+      start from the first sampled row, repeatedly add the point least
+      similar to the chosen set — deterministic, no RNG, and spreads the
+      seeds across the data's actual clusters (the failure mode of the
+      first-N-by-id placeholder).
+    - refine: ``n_iter`` Lloyd rounds of spherical k-means (Dhillon & Modha
+      2001): assign by max cosine, recenter to the normalized mean.
+
+    At cluster scale the same construction runs as k-means|| over a
+    DataFrame sample with the Lloyd step in Spark; the driver-side numpy
+    version is legitimate because the SAMPLE is bounded, not the corpus.
+    Returns k×dim floats, broadcast into the assignment UDF."""
+    sampled = (
+        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.concat(F.lit(str(seed)), F.col("_id").cast("string"))), F.col("_id"))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.asarray([[float(x) for x in r["_v"]] for r in sampled], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(n_centroids, len(Xn))
+    chosen = [0]
+    best_sim = Xn @ Xn[0]
+    for _ in range(1, k):
+        nxt = int(np.argmin(best_sim))  # least-covered point; ties → smallest index
+        chosen.append(nxt)
+        best_sim = np.maximum(best_sim, Xn @ Xn[nxt])
+    C = Xn[chosen].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(Xn @ C.T, axis=1)  # ties → smallest centroid id
+        for j in range(k):
+            members = Xn[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                nrm = np.linalg.norm(c)
+                if nrm > 1e-12:
+                    C[j] = c / nrm
+    return [row.tolist() for row in C]
 
 
 def _centroid_topn_udf(centroids: list[list[float]], n: int):
@@ -194,6 +249,46 @@ def with_ivf_cell(embeddings: DataFrame, centroids: list[list[float]], vec_col: 
     return embeddings.withColumn("cell", topn(F.col(vec_col))[0])
 
 
+#: default per-cell membership cap for the IVF join paths. One degenerate
+#: mega-cell (e.g. all-zero embeddings from empty documents — common in real
+#: training data) would otherwise make the within-cell candidate join
+#: quadratic — the same skew bomb max_band_bucket defuses in the text path.
+IVF_MAX_CELL = 10_000
+
+
+def _cap_cells(corpus: DataFrame, id_order_col: str, max_cell: int | None) -> DataFrame:
+    """Deterministic per-cell cap: keep the ``max_cell`` smallest ids. Adds a
+    ``_sz`` (pre-cap cell size) + ``_rn`` pair in ONE window pass partitioned
+    on ``cell`` — the same exchange the cell join needs, so at rest-partitioned
+    layouts this costs a sort, not a shuffle. Never silent: over-cap cells are
+    enumerable via :func:`ivf_cell_metrics`."""
+    if max_cell is None:
+        return corpus
+    w_rank = Window.partitionBy("cell").orderBy(id_order_col)
+    w_size = Window.partitionBy("cell")
+    return (
+        corpus.withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("_sz", F.count(F.lit(1)).over(w_size))
+        .where(F.col("_rn") <= max_cell)
+        .drop("_rn", "_sz")
+    )
+
+
+def ivf_cell_metrics(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    max_cell: int = IVF_MAX_CELL,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Skew lineage for the IVF cell cap: one row per over-cap cell
+    (cell, cell_size, kept) — the enumerable record of what the cap dropped,
+    mirroring blocking's bucket_metrics (no-silent-caps rule)."""
+    sizes = with_ivf_cell(embeddings, centroids, vec_col).groupBy("cell").agg(
+        F.count(F.lit(1)).alias("cell_size")
+    )
+    return sizes.where(F.col("cell_size") > max_cell).withColumn("kept", F.lit(max_cell))
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     probes: DataFrame,
@@ -202,6 +297,7 @@ def cosine_topk_ivf(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell: int | None = IVF_MAX_CELL,
 ) -> DataFrame:
     """IVF ANN: corpus vectors live in their nearest-centroid cell; a probe
     scans only its ``nprobe`` nearest cells, exact cosine re-rank inside.
@@ -209,17 +305,26 @@ def cosine_topk_ivf(
     100-TB shape: the corpus is partitioned by ``cell`` ONCE (scan-side narrow
     assignment, one numpy matmul per Arrow batch), so a probe batch touches
     nprobe/n_centroids of the data and the join is a broadcast of the (small)
-    probe side against cell-pruned corpus partitions. Recall is tunable via
-    nprobe — measured against brute force in ann_recall queries/tests."""
-    corpus = with_ivf_cell(embeddings, centroids, vec_col).select(
-        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"), "cell"
+    probe side against cell-pruned corpus partitions. Degenerate mega-cells
+    are capped at ``max_cell`` members (deterministic smallest ids; over-cap
+    cells enumerable via :func:`ivf_cell_metrics`). Probe cells come out of
+    the assignment UDF nearest-first (``probe_rank`` = traversal order), so a
+    scale implementation can early-terminate after the closest cells; the
+    batch join scans all nprobe cells at once. Recall is tunable via nprobe —
+    measured against brute force in ann_recall queries/tests."""
+    corpus = _cap_cells(
+        with_ivf_cell(embeddings, centroids, vec_col).select(
+            F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"), "cell"
+        ),
+        "corpus_id",
+        max_cell,
     )
     topn = _centroid_topn_udf(centroids, nprobe)
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("pv"),
-        F.explode(topn(F.col(vec_col))).alias("cell"),
-    )
+        F.posexplode(topn(F.col(vec_col))).alias("probe_rank", "cell"),
+    ).drop("probe_rank")
     scored = (
         corpus.join(F.broadcast(p), "cell")
         .where(F.col("probe_id") != F.col("corpus_id"))
@@ -264,6 +369,7 @@ def embedding_near_dup_pairs(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell: int | None = IVF_MAX_CELL,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS (id_a < id_b, cos ≥ min_cos) —
     the ANN rendering of the dedup family's "embedding channel": every vector
@@ -274,9 +380,16 @@ def embedding_near_dup_pairs(
     assignment; candidate count is Σ_cell |cell|·(probe hits in cell), capped
     by cell granularity — never O(N²). Recall for true near-dups (cos ≥ 0.9)
     is high because such pairs' cells coincide at small angle; measured in
-    tests against the exact threshold join."""
+    tests against the exact threshold join. The corpus side of the within-cell
+    join is capped at ``max_cell`` members per cell (deterministic smallest
+    ids, :func:`ivf_cell_metrics` enumerates the cut) — a degenerate mega-cell
+    of identical vectors would otherwise go quadratic."""
     assigned = with_ivf_cell(embeddings, centroids, vec_col)
-    corpus = assigned.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cell")
+    corpus = _cap_cells(
+        assigned.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cell"),
+        "id_b",
+        max_cell,
+    )
     topn = _centroid_topn_udf(centroids, nprobe)
     probes = embeddings.select(
         F.col(id_col).alias("id_a"),
