@@ -5,8 +5,15 @@ local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 Headline set = the actual entity-resolution workload (flagship pipeline over
 derived transcripts: assembly → MinHash-LSH → difflib scoring → CC) plus the
 heavier standalone operators (LSH candidates, simhash, exact dedup, ANN,
-TPC-H-style agg). Run `python scripts/scaling_bench.py` for the local[8] vs
-local[32] scaling-efficiency evidence (BENCH/BASELINE.md).
+TPC-H-style agg).
+
+Protocol: a small warmup pass (sf0.001 flagship — JIT + Python-worker spinup),
+then the WHOLE query list is run $SPARK_GRAFT_BENCH_RUNS times (default 3)
+INTERLEAVED, and each query reports its best-of-N. Single runs on this host
+drift ±20% (BENCH/BASELINE.md) — the r2 regression call was only possible
+because two independent runs agreed; best-of-N with the per-run spread in the
+JSON makes every future comparison self-evidencing. Run
+`python scripts/scaling_bench.py` for the pinned scaling-efficiency evidence.
 """
 
 from __future__ import annotations
@@ -20,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 
 def main() -> None:
@@ -36,13 +44,6 @@ def main() -> None:
     spark = get_spark(app_name="rcb_bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
     sf_label = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     q = ent.queries()
-    timings: dict[str, float] = {}
-    counts: dict[str, int] = {}
-
-    def run(name: str, fn) -> None:
-        t0 = time.monotonic()
-        counts[name] = int(fn())
-        timings[name] = round(time.monotonic() - t0, 3)
 
     # flagship: the full ER pipeline (count forces full materialization)
     def flagship():
@@ -55,19 +56,41 @@ def main() -> None:
         cands, _ = generate_candidates(docs, PipelineConfig())
         return cands.count()
 
-    run("flagship_pipeline", flagship)
-    run("lsh_candidates_xxhash", lsh_candidates)
-    run("exact_dedup", lambda: q["dedup_keep_first"](spark, SF_DIR).count())
-    run("simhash", lambda: q["simhash"](spark, SF_DIR).count())
-    run("simhash_near_pairs", lambda: q["simhash_near_pairs"](spark, SF_DIR).count())
-    run("minhash_lsh_md5", lambda: q["lsh_candidates"](spark, SF_DIR).count())
-    run("cosine_topk_bruteforce", lambda: q["cosine_topk_bruteforce"](spark, SF_DIR).count())
-    run("cosine_topk_lsh", lambda: q["cosine_topk_lsh"](spark, SF_DIR).count())
-    run("cosine_topk_ivf", lambda: q["cosine_topk_ivf"](spark, SF_DIR).count())
-    run("q1_pricing_summary", lambda: q["q1_pricing_summary"](spark, SF_DIR).count())
-    run("token_stats", lambda: q["token_stats"](spark, SF_DIR).count())
-    run("events_ts_buckets", lambda: q["events_ts_buckets"](spark, SF_DIR).count())
+    suite: list[tuple[str, object]] = [
+        ("flagship_pipeline", flagship),
+        ("lsh_candidates_xxhash", lsh_candidates),
+        ("exact_dedup", lambda: q["dedup_keep_first"](spark, SF_DIR).count()),
+        ("simhash", lambda: q["simhash"](spark, SF_DIR).count()),
+        ("simhash_near_pairs", lambda: q["simhash_near_pairs"](spark, SF_DIR).count()),
+        ("minhash_lsh_md5", lambda: q["lsh_candidates"](spark, SF_DIR).count()),
+        ("cosine_topk_bruteforce", lambda: q["cosine_topk_bruteforce"](spark, SF_DIR).count()),
+        ("cosine_topk_lsh", lambda: q["cosine_topk_lsh"](spark, SF_DIR).count()),
+        ("cosine_topk_ivf", lambda: q["cosine_topk_ivf"](spark, SF_DIR).count()),
+        ("q1_pricing_summary", lambda: q["q1_pricing_summary"](spark, SF_DIR).count()),
+        ("token_stats", lambda: q["token_stats"](spark, SF_DIR).count()),
+        ("events_ts_buckets", lambda: q["events_ts_buckets"](spark, SF_DIR).count()),
+    ]
 
+    # warmup: JIT the codegen/shuffle paths + spin up the Python UDF workers
+    # on the tiny SF so run 1 doesn't pay ~9 s of one-time JVM cost
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        run_batch(transcripts_from_documents(spark, warm_dir), PipelineConfig()).clusters.count()
+
+    all_runs: dict[str, list[float]] = {name: [] for name, _ in suite}
+    counts: dict[str, int] = {}
+    for _ in range(N_RUNS):
+        for name, fn in suite:
+            t0 = time.monotonic()
+            c = int(fn())
+            all_runs[name].append(round(time.monotonic() - t0, 3))
+            prev = counts.setdefault(name, c)
+            assert prev == c, f"{name}: count changed across runs ({prev} vs {c})"
+
+    timings = {name: min(runs) for name, runs in all_runs.items()}
+    spread = {
+        name: round(max(runs) - min(runs), 3) for name, runs in all_runs.items()
+    }
     total = round(sum(timings.values()), 3)
     # throughput: transcript turns processed per second by the flagship
     n_turns = transcripts_from_documents(spark, SF_DIR).count()
@@ -80,6 +103,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_label,
                 "counts": counts,
+                "n_runs": N_RUNS,
+                "spread": spread,
+                "runs": all_runs,
                 "flagship_turns": n_turns,
                 "flagship_turns_per_sec": round(n_turns / timings["flagship_pipeline"], 1),
                 "cpus": int(CPUS),

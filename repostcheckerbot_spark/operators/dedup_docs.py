@@ -335,7 +335,35 @@ def simhash_chunk_exprs(num_chunks: int, dialect: str) -> list[str]:
     return exprs
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+def simhash_combo_keys(num_chunks: int, combo_size: int, max_hamming: int) -> list[str]:
+    """Manku/Jain/Das Sarma (WWW'07, public algorithm) block-combination keys:
+    one xxhash64 expression per ``combo_size``-subset of the ``num_chunks``
+    simhash chunks. Pigeonhole: a pair with hamming ≤ max_hamming − 1 has at
+    least ``num_chunks − (max_hamming − 1)`` untouched chunks, so as long as
+    ``combo_size ≤ num_chunks − (max_hamming − 1)`` it agrees on at least one
+    whole subset — recall 1.0 by construction, like the single-chunk scheme,
+    but each key carries combo_size·(64/num_chunks) bits instead of
+    64/num_chunks: buckets are exponentially finer (the >10⁸-doc regime) at
+    C(num_chunks, combo_size) index rows per doc."""
+    import itertools
+
+    d = max_hamming - 1
+    if combo_size > num_chunks - d:
+        raise ValueError(
+            f"combo_size={combo_size} breaks the pigeonhole guarantee: need "
+            f"combo_size <= num_chunks - (max_hamming-1) = {num_chunks - d}"
+        )
+    chunk_exprs = simhash_chunk_exprs(num_chunks, "spark")
+    keys = []
+    for subset in itertools.combinations(range(num_chunks), combo_size):
+        concat = ", ',', ".join(f"cast({chunk_exprs[i]} as string)" for i in subset)
+        keys.append(f"xxhash64(concat({concat}))")
+    return keys
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 6, num_chunks: int | None = None, combo_size: int = 1
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance — the reference's
     dhash-Hamming accept rule re-expressed (hamming < thresh, strictly,
     database.py:451,594; score = ((thresh-d)/thresh)*100, database.py:454).
@@ -354,17 +382,26 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     that recall vs the brute-force join is exhaustive.
 
     Bucket-width regime: a chunk carries 64/num_chunks bits, so expected
-    bucket size is N/2^(64/c) — fine up to ~10⁸ docs at c=8. Beyond that,
-    key on CONCATENATIONS of (c−d) chunks instead of single chunks (the
-    block-permutation construction of Manku/Jain/Das Sarma, WWW'07 —
-    public algorithm): same pigeonhole guarantee, exponentially finer
-    buckets, more index rows. Same join shape; swap the key builder.
+    bucket size is N/2^(64/c) — fine up to ~10⁸ docs at the default
+    single-chunk keys (c = max_hamming, combo_size = 1). Beyond that, pass
+    ``num_chunks > max_hamming`` and ``combo_size > 1`` to switch to the
+    Manku/Jain/Das Sarma (WWW'07) block-combination keys built by
+    :func:`simhash_combo_keys`: same pigeonhole recall-1.0 guarantee
+    (enforced at the flag boundary), combo_size·(64/num_chunks)-bit buckets,
+    C(num_chunks, combo_size) index rows per doc. The join shape is
+    IDENTICAL — only the key builder swaps.
     """
-    num_chunks = max(1, min(max_hamming, 64))
+    if num_chunks is None:
+        num_chunks = max(1, min(max_hamming, 64))
+    if combo_size == 1:
+        key_exprs = simhash_chunk_exprs(num_chunks, "spark")
+        if num_chunks > 64 or num_chunks - (max_hamming - 1) < 1:
+            raise ValueError(f"num_chunks={num_chunks} breaks the pigeonhole guarantee")
+    else:
+        key_exprs = simhash_combo_keys(num_chunks, combo_size, max_hamming)
     s = simhash64(docs)
     chunk_structs = ", ".join(
-        f"struct({i} as chunk_id, {e} as chunk_val)"
-        for i, e in enumerate(simhash_chunk_exprs(num_chunks, "spark"))
+        f"struct({i} as chunk_id, {e} as chunk_val)" for i, e in enumerate(key_exprs)
     )
     chunks = s.select(
         "doc_id", "sim_hi", "sim_lo", F.explode(F.expr(f"array({chunk_structs})")).alias("c")

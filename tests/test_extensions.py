@@ -378,3 +378,41 @@ def test_ivf_recall_sf01_kmeans_nprobe4(spark):
     brute = similarity.cosine_topk_bruteforce(emb, probes, k=5)
     rec = similarity.ann_recall(ann, brute).collect()[0]
     assert rec.recall_millionths >= 650_000, rec  # chance = ~500_000
+
+
+def test_simhash_manku_combo_keys_same_pairs_finer_buckets(spark):
+    """The Manku block-combination flag must (a) return EXACTLY the pairs of
+    the single-chunk scheme (both are recall-1.0 candidate generators in
+    front of the same Hamming filter), (b) keep the hash-equi-join plan, and
+    (c) enforce the pigeonhole guarantee at the flag boundary."""
+    texts = []
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet".split()
+    for i in range(40):
+        w = list(words)
+        if i % 4 == 1:
+            w[i % len(w)] = f"tweak{i}"
+        if i % 4 == 2:
+            w = w + [f"extra{i}"]
+        if i % 4 == 3:
+            w = [f"unrelated{i} content {j * i}" for j in range(8)]
+        texts.append(" ".join(w))
+    d = _docs(spark, texts)
+
+    base = dedup_docs.simhash_near_pairs(d, max_hamming=8)
+    combo = dedup_docs.simhash_near_pairs(d, max_hamming=8, num_chunks=9, combo_size=2)
+    got_base = {(r.doc_id_a, r.doc_id_b, r.hamming) for r in base.collect()}
+    got_combo = {(r.doc_id_a, r.doc_id_b, r.hamming) for r in combo.collect()}
+    assert got_base == got_combo and len(got_base) > 0
+
+    plan = combo._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    # bucket-width: combo keys carry 2·(64/9)≈14 bits vs 8 for single-chunk —
+    # C(9,2)=36 keys/doc, each bucket exponentially finer
+    assert len(dedup_docs.simhash_combo_keys(9, 2, 8)) == 36
+
+    # flag boundary: combo_size > num_chunks - (max_hamming-1) is rejected
+    with pytest.raises(ValueError):
+        dedup_docs.simhash_combo_keys(9, 3, 8)
+    with pytest.raises(ValueError):
+        dedup_docs.simhash_near_pairs(d, max_hamming=8, num_chunks=10, combo_size=4)
