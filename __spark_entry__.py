@@ -103,6 +103,15 @@ def _q_simhash_near_pairs(spark, sf):
     )
 
 
+def _q_simhash_near_pairs_manku(spark, sf):
+    """The Manku block-combination flag under the SAME oracle as the
+    single-chunk scheme: both candidate generators are recall-1.0 in front of
+    the identical Hamming filter, so the accepted pair sets must match."""
+    return dedup_docs.simhash_near_pairs(
+        load(spark, sf, "documents"), max_hamming=8, num_chunks=9, combo_size=2
+    ).select("doc_id_a", "doc_id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 def _q_token_stats(spark, sf):
     d = textstats.with_token_stats(load(spark, sf, "documents"))
     return d.select(
@@ -464,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "simhash_near_pairs": _q_simhash_near_pairs,
+        "simhash_near_pairs_manku": _q_simhash_near_pairs_manku,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality_scores,
         "lang_id_counts": _q_lang_id_counts,
@@ -575,8 +585,85 @@ allturns AS (
 """
 
 
+def _duckdb_sketch_expr(planes: list[list[float]], vcol: str) -> str:
+    """The sign-sketch as DuckDB column algebra over embedded plane literals —
+    bit i = (v · plane_i > 0), weighted 2^(T-1-i) exactly like the Spark
+    accumulation in similarity.with_sign_sketch (sketch = sketch*2 + bit).
+    The planes are deterministic (seeded make_planes), so both engines state
+    the identical formula with the identical constants."""
+    T = len(planes)
+    parts = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        parts.append(
+            f"(CASE WHEN list_dot_product({vcol}, {lit}) > 0 THEN 1 ELSE 0 END) * {1 << (T - 1 - i)}"
+        )
+    return " + ".join(parts)
+
+
+def _cosine_lsh_oracle() -> str:
+    planes = similarity.make_planes(dim=64, n_planes=8, seed=42)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sk AS (SELECT vec_id, v, {_duckdb_sketch_expr(planes, "v")} AS sketch FROM e),
+        scored AS (
+          SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+                 CAST(round(
+                   list_dot_product(p.v, c.v)
+                   / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v)))
+                 , 6) AS DOUBLE) AS cos
+          FROM sk p JOIN sk c ON p.sketch = c.sketch AND c.vec_id <> p.vec_id
+          WHERE p.vec_id < 10
+        ),
+        ranked AS (
+          SELECT probe_id, corpus_id, cos,
+                 CAST(row_number() OVER (
+                   PARTITION BY probe_id ORDER BY cos DESC, corpus_id ASC
+                 ) AS INT) AS rnk
+          FROM scored
+        )
+        SELECT probe_id, corpus_id, cos, rnk FROM ranked WHERE rnk <= 5
+    """
+
+
+def _cosine_lsh_multi_oracle() -> str:
+    tables = similarity.make_plane_tables(dim=64, n_tables=4, n_planes=8, seed=42)
+    per_table = "\n            UNION ALL\n            ".join(
+        f"SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id FROM e p JOIN e c "
+        f"ON ({_duckdb_sketch_expr(planes, 'p.v')}) = ({_duckdb_sketch_expr(planes, 'c.v')}) "
+        f"AND c.vec_id <> p.vec_id WHERE p.vec_id < 10"
+        for planes in tables
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cand AS (
+          SELECT DISTINCT probe_id, corpus_id FROM (
+            {per_table}
+          )
+        ),
+        scored AS (
+          SELECT cand.probe_id, cand.corpus_id,
+                 CAST(round(
+                   list_dot_product(pe.v, ce.v)
+                   / (sqrt(list_dot_product(pe.v, pe.v)) * sqrt(list_dot_product(ce.v, ce.v)))
+                 , 6) AS DOUBLE) AS cos
+          FROM cand
+          JOIN e pe ON pe.vec_id = cand.probe_id
+          JOIN e ce ON ce.vec_id = cand.corpus_id
+        ),
+        ranked AS (
+          SELECT probe_id, corpus_id, cos,
+                 CAST(row_number() OVER (
+                   PARTITION BY probe_id ORDER BY cos DESC, corpus_id ASC
+                 ) AS INT) AS rnk
+          FROM scored
+        )
+        SELECT probe_id, corpus_id, cos, rnk FROM ranked WHERE rnk <= 5
+    """
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "exact_dup_edges": f"""
             WITH n AS (SELECT doc_id, md5({_NORM}) AS h FROM documents)
             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(100.0 AS DOUBLE) AS score
@@ -921,6 +1008,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT probe_id, corpus_id, cos FROM scored WHERE cos >= 0.25
         """,
+        "cosine_topk_lsh": _cosine_lsh_oracle(),
+        "cosine_topk_lsh_multi": _cosine_lsh_multi_oracle(),
         "cosine_topk_bruteforce": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             scored AS (
@@ -973,7 +1062,12 @@ def oracle_sql() -> dict[str, str]:
             reps AS (SELECT h, min(conv_id) AS cluster_id FROM docs2 GROUP BY h)
             SELECT d.conv_id, r.cluster_id FROM docs2 d JOIN reps r ON r.h = d.h
         """,
-        # transcripts_flagship_clusters / cosine_topk_* : non-SQL-expressible
-        # (difflib, xxhash LSH, iterative CC, tie-sensitive top-k) →
-        # rows-only checks.
+        # transcripts_flagship_clusters / cosine_topk_ivf / ann_recall_ivf:
+        # non-SQL-expressible (difflib + iterative CC; data-dependent k-means
+        # codebook) → rows-only checks, each gated by pytest recall/F1 tests.
     }
+    # the Manku-combination candidate scheme is recall-1.0 by the same
+    # pigeonhole argument as the single-chunk scheme, so the ACCEPTED pair set
+    # (hamming < max_hamming) is identical — the oracle is shared verbatim.
+    sql["simhash_near_pairs_manku"] = sql["simhash_near_pairs"]
+    return sql

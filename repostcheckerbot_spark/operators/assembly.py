@@ -56,10 +56,13 @@ def assemble_docs(transcripts: DataFrame) -> DataFrame:
             F.min("ts").alias("first_ts"),
             F.count(F.lit(1)).alias("n_turns"),
             # composite ordering: plain min_by(tool, turn_idx) is
-            # NONDETERMINISTIC when turn_idx repeats within a conversation —
-            # the struct tiebreak (text, role, tool) restores the array_sort
-            # determinism the r1 turns[0].tool path had.
-            F.min_by("tool", F.struct("turn_idx", "text", "role", "tool")).alias("tool"),
+            # NONDETERMINISTIC when turn_idx repeats within a conversation.
+            # Ordering by (turn_idx, role, tool) makes the picked tool a pure
+            # function of the row multiset — deterministic under shuffle
+            # nondeterminism — WITHOUT putting `text` in the comparison key
+            # (assembly is memory-bandwidth-bound; a text copy in the min_by
+            # buffer measurably slows the whole shuffle).
+            F.min_by("tool", F.struct("turn_idx", "role", "tool")).alias("tool"),
         )
         .select(
             "conv_id",

@@ -56,3 +56,32 @@ def test_no_accidental_nested_loop_joins(spark, name):
             f"(equi-join rewrite) or, if the non-equi shape is the design, "
             f"add it to ALLOWED_BNLJ with a justification"
         )
+
+
+def test_candidate_selfjoin_reuses_one_exchange(spark):
+    """Regression guard for the r2 flagship regression: the banded LSH
+    self-join must plan BOTH sides over ONE shuffle of the signature subtree
+    (ReusedExchange), never a static BroadcastExchange that duplicates the
+    assembly+signature computation. Asserted on the pre-execution physical
+    plan so it holds regardless of AQE runtime decisions."""
+    from repostcheckerbot_spark.config import PipelineConfig
+    from repostcheckerbot_spark.operators.assembly import assemble_docs
+    from repostcheckerbot_spark.operators.blocking import generate_candidates
+    from repostcheckerbot_spark.sources.testdata import transcripts_from_documents
+
+    docs = assemble_docs(transcripts_from_documents(spark, SF_DIR))
+    cands, _ = generate_candidates(docs, PipelineConfig())
+    pre = cands._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in pre, (
+        "candidate self-join statically broadcasts one side — the broadcast "
+        "subtree recomputes the signature UDF (the r2 ~48% flagship regression)"
+    )
+    assert "SortMergeJoin" in pre
+    # AQE resolves exchange reuse at runtime — execute THIS QueryExecution
+    # (collect, not count: count builds a new plan) and assert the final
+    # adaptive plan shares one shuffle stage across both join sides
+    cands.collect()
+    post = cands._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in post
+    assert "ReusedExchange" in post, "self-join sides no longer share the exchange"
+    assert "BroadcastExchange" not in post
