@@ -70,6 +70,53 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_union_find(
+    spark: SparkSession, e: DataFrame, metrics: list[dict] | None
+) -> DataFrame:
+    """Bounded small-graph fast path: union-find with path compression and
+    min-id roots on the driver. Only reachable when the deduped edge count is
+    ≤ ``small_graph_threshold`` (an explicit, metered bound — ~100k string
+    pairs ≈ 10 MB — NOT an unbounded corpus collect). The star-contraction
+    path pays ~1-3 s of scheduler latency per probe job, which dominates
+    end-to-end wall when the edge set is tiny; union-find on the same graph
+    is milliseconds. Result is identical: cluster_id = lexicographic min."""
+    t0 = time.monotonic()
+    rows = e.collect()
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra == rb:
+            continue
+        if ra < rb:  # min id becomes the root → cluster_id convention holds
+            parent[rb] = ra
+        else:
+            parent[ra] = rb
+    assign = [(x, find(x)) for x in parent] + [
+        (r, r) for r in {find(x) for x in parent}
+    ]
+    if metrics is not None:
+        metrics.append(
+            {
+                "stage": "cc",
+                "mode": "driver_union_find",
+                "edges": len(rows),
+                "wall_s": time.monotonic() - t0,
+            }
+        )
+    return spark.createDataFrame(
+        sorted(set(assign)), "conv_id string, cluster_id string"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
@@ -77,22 +124,34 @@ def connected_components(
     max_iterations: int = 50,
     metrics: list[dict] | None = None,
     probe_interval: int = 2,
+    small_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """edges(conv_id_a, conv_id_b) [+ vertices(conv_id)] → (conv_id, cluster_id).
 
     cluster_id = lexicographic min conv_id of the component. Vertices absent
     from any edge (singletons) map to themselves when ``vertices`` is given.
 
-    Driver-floor discipline (the serial floor is ~1-3 s of scheduler/AQE
-    latency PER JOB LAUNCH, BENCH/BASELINE.md): checkpoints are LAZY — the
-    convergence-probe aggregate materializes them, so a probed round is ONE
-    job, not two — and the probe runs every ``probe_interval`` rounds with the
-    intermediate rounds fused into the same job (lineage depth ≤
-    probe_interval). Comparing signatures ``probe_interval`` apart is sound:
-    star contraction monotonically decreases the parent-id potential, so an
-    unchanged (count, xor) signature across the window means no round in it
-    changed anything. Worst case runs probe_interval−1 extra (cheap, empty)
-    rounds; job launches drop ~2×probe_interval-fold.
+    Hybrid by edge count (known after the dedup job): ≤
+    ``small_graph_threshold`` edges → bounded driver union-find (see
+    :func:`_driver_union_find`); above it → distributed alternating-star
+    contraction. Match edges are SPARSE relative to the corpus (pairs that
+    actually scored above threshold), but at the 10¹²-turn design point they
+    still overflow any driver, so the distributed path is the primary design
+    and the fast path is a latency optimization with an explicit bound.
+    Pass ``small_graph_threshold=0`` to force the distributed path (tests
+    assert both produce identical clusters).
+
+    Driver-floor discipline for the distributed path (the serial floor is
+    ~1-3 s of scheduler/AQE latency PER JOB LAUNCH, BENCH/BASELINE.md):
+    checkpoints are LAZY — the convergence-probe aggregate materializes them,
+    so a probed round is ONE job, not two — and the probe runs every
+    ``probe_interval`` rounds with the intermediate rounds fused into the
+    same job (lineage depth ≤ probe_interval; deeper fusion measurably
+    EXPLODES plan/AQE time — probe_interval=3 measured 7× slower than 2).
+    Comparing signatures ``probe_interval`` apart is sound: star contraction
+    monotonically decreases the parent-id potential, so an unchanged
+    (count, xor) signature across the window means no round in it changed
+    anything.
     """
     spark = edges.sparkSession
     e = edges.select(F.col("conv_id_a").alias("src"), F.col("conv_id_b").alias("dst")).where(
@@ -104,6 +163,16 @@ def connected_components(
     # the (lazy) checkpoint — one job for dedup + sizing.
     e = e.localCheckpoint(eager=False)
     n_edges = e.count()
+    if n_edges <= small_graph_threshold and checkpoint_dir is None:
+        out = _driver_union_find(spark, e, metrics)
+        if vertices is not None:
+            singles = (
+                vertices.select("conv_id")
+                .join(out.select("conv_id"), "conv_id", "left_anti")
+                .withColumn("cluster_id", F.col("conv_id"))
+            )
+            out = out.unionByName(singles)
+        return out
     parts = max(1, min(e.sparkSession.sparkContext.defaultParallelism, n_edges // 20_000 + 1))
     e = e.repartition(parts)
 

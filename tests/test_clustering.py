@@ -78,3 +78,25 @@ def test_checkpoint_and_resume(spark, tmp_path):
     # resume from the persisted state — must reproduce the same assignment
     got = {r.conv_id: r.cluster_id for r in resume_connected_components(spark, ckpt).collect()}
     assert got == want
+
+
+def test_driver_and_distributed_paths_identical(spark):
+    """The bounded union-find fast path and the star-contraction path must
+    produce IDENTICAL clusters (same min-id convention, same singleton
+    handling)."""
+    from pyspark.sql import functions as F
+
+    from repostcheckerbot_spark.operators.clustering import connected_components
+
+    # chain + triangle + isolated pair + singleton vertex
+    edges = spark.createDataFrame(
+        [("b", "c"), ("c", "d"), ("x", "y"), ("y", "z"), ("z", "x"), ("p", "q")],
+        "conv_id_a string, conv_id_b string",
+    )
+    verts = spark.createDataFrame([(v,) for v in "bcdxyzpqs"], "conv_id string")
+    fast = connected_components(edges, vertices=verts)  # n=6 ≤ threshold
+    slow = connected_components(edges, vertices=verts, small_graph_threshold=0)
+    f = {r.conv_id: r.cluster_id for r in fast.collect()}
+    s = {r.conv_id: r.cluster_id for r in slow.collect()}
+    assert f == s
+    assert f == {"b": "b", "c": "b", "d": "b", "x": "x", "y": "x", "z": "x", "p": "p", "q": "p", "s": "s"}
