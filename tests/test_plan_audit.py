@@ -20,6 +20,11 @@ SF_DIR = "/root/testdata/sf0.001"
 #: - ngram_jaccard / union_match_strategies: cross join against a ONE-ROW
 #:   corpus-count aggregate (the DF-cap threshold).
 ALLOWED_BNLJ = {
+    # jaro_winkler_pairs / levenshtein_pairs: all-pairs over an EXPLICIT
+    # 50-doc id range (the scorer-parity surface; production scoring runs on
+    # LSH candidates) — a bounded 1225-pair nested loop by construction.
+    "jaro_winkler_pairs",
+    "levenshtein_pairs",
     "cosine_pairs",
     "cosine_topk_bruteforce",
     "ann_recall_ivf",

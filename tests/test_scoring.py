@@ -87,3 +87,35 @@ def test_boundary_ratio_exactly_half_rejected(spark):
     cands = spark.createDataFrame([("p", "q")], ["conv_id_a", "conv_id_b"])
     fuzzy = fuzzy_edges(cands, docs, CFG)
     assert fuzzy.count() == 0
+
+
+def test_jaro_winkler_and_levenshtein_reference_values(spark):
+    """Scorer parity on canonical examples (Winkler's MARTHA/MARHTA etc.) and
+    the DuckDB conventions the oracles rely on: empty-vs-empty jaro = 0,
+    transpositions floor-halved, prefix bonus only above the 0.7 boost."""
+    from repostcheckerbot_spark.operators.scoring import (
+        _jaro,
+        _jaro_winkler,
+        jaro_winkler,
+        levenshtein_ratio,
+    )
+
+    assert abs(_jaro("MARTHA", "MARHTA") - 0.9444444444444445) < 1e-12
+    assert abs(_jaro_winkler("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12
+    assert abs(_jaro_winkler("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12
+    assert _jaro_winkler("CRATE", "TRACE") == _jaro("CRATE", "TRACE")  # prefix 0
+    # below the 0.7 boost: no prefix bonus even with a shared prefix
+    assert _jaro_winkler("abqqqqqq", "abzzzz") == _jaro("abqqqqqq", "abzzzz")
+    assert _jaro("", "") == 0.0 and _jaro("a", "") == 0.0
+    assert _jaro("abcd", "badc") == 0.8333333333333334  # floor-halved t
+
+    df = spark.createDataFrame(
+        [("MARTHA", "MARHTA"), ("kitten", "sitting"), ("", "")], ["a", "b"]
+    )
+    got = df.select(
+        F.round(jaro_winkler(F.col("a"), F.col("b")), 6).alias("jw"),
+        F.round(levenshtein_ratio("a", "b"), 6).alias("lr"),
+    ).collect()
+    assert got[0].jw == 0.961111
+    assert got[1].lr == round(1 - 3 / 7, 6)  # kitten→sitting = 3 edits
+    assert got[2].jw == 0.0 and got[2].lr == 1.0  # ''=='' identical for ratio
