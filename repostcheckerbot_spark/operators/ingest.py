@@ -71,13 +71,23 @@ class IncrementalPipeline:
         metrics = MetricsSink(self.wh)
         t0 = time.monotonic()
 
-        batch_docs = assemble_docs(apply_ingest_gate(new_transcripts, cfg.retention_days, now=now))
+        assembled = assemble_docs(
+            apply_ingest_gate(new_transcripts, cfg.retention_days, now=now)
+        ).localCheckpoint(eager=True)
 
-        corpus = self.corpus_docs()
-        if corpus is not None:
-            # J1: identity skip — already-logged conv_ids never re-enter
-            batch_docs = batch_docs.join(corpus.select("conv_id"), "conv_id", "left_anti")
-        batch_docs = batch_docs.localCheckpoint(eager=True)
+        if self.wh.exists("corpus_docs"):
+            # J1: identity skip — already-logged conv_ids never re-enter.
+            # Bucket-pruned: only corpus buckets that can contain a batch
+            # conv_id are scanned (I/O ∝ batch buckets, not corpus).
+            known, skip_pruning = self.wh.read_bucket_pruned(
+                "corpus_docs", assembled.select("conv_id"), "conv_id"
+            )
+            batch_docs = assembled.join(
+                known.select("conv_id"), "conv_id", "left_anti"
+            ).localCheckpoint(eager=True)
+            metrics.record_count("ingest.identity_skip", batch_docs.count(), **skip_pruning)
+        else:
+            batch_docs = assembled
         metrics.record_count("ingest.batch_docs", batch_docs.count())
 
         sig = with_signature(batch_docs, cfg).select(*cfg.block_cols, "conv_id", "minhash")
@@ -94,17 +104,38 @@ class IncrementalPipeline:
         # the sha is already stored (every stored copy is already connected to
         # it, inductively), else the batch-local min. O(batch) edges; the
         # connected components are identical.
+        # The corpus-side rep lookup is the maintained ``corpus_reps`` index
+        # (doc_sha → group rep, hash-bucketed by doc_sha): the probe reads
+        # only the buckets the batch's shas hash into — I/O ∝ batch, where the
+        # r3-pre shape re-aggregated ALL of corpus_docs every micro-batch.
+        # The invariant the star argument needs is "every stored copy of a
+        # sha is connected to reps[sha]" — maintained below (persist section)
+        # and under purges (_purge_keys re-star). Legacy warehouses without
+        # the index fall back to the corpus aggregation once; the upsert
+        # below creates the index for subsequent batches.
         probe = batch_docs.select("conv_id", "doc_sha")
         batch_reps = probe.groupBy("doc_sha").agg(F.min("conv_id").alias("brep"))
-        if corpus is None:
-            reps = batch_reps.select("doc_sha", F.col("brep").alias("rep"))
-        else:
-            corpus_reps = corpus.select("conv_id", "doc_sha").groupBy("doc_sha").agg(
-                F.min("conv_id").alias("crep")
+        if self.wh.exists("corpus_reps"):
+            crep_src, rep_pruning = self.wh.read_bucket_pruned(
+                "corpus_reps", probe.select("doc_sha"), "doc_sha"
+            )
+            metrics.record_count("ingest.rep_probe", 0, **rep_pruning)
+            crep = crep_src.select("doc_sha", F.col("rep").alias("crep"))
+            reps = batch_reps.join(crep, "doc_sha", "left").select(
+                "doc_sha", F.coalesce("crep", "brep").alias("rep")
+            )
+        elif self.wh.exists("corpus_docs"):
+            corpus_reps = (
+                self.wh.read("corpus_docs")
+                .select("conv_id", "doc_sha")
+                .groupBy("doc_sha")
+                .agg(F.min("conv_id").alias("crep"))
             )
             reps = batch_reps.join(corpus_reps, "doc_sha", "left").select(
                 "doc_sha", F.coalesce("crep", "brep").alias("rep")
             )
+        else:
+            reps = batch_reps.select("doc_sha", F.col("brep").alias("rep"))
         exact = (
             probe.join(reps, "doc_sha")
             .where(F.col("conv_id") != F.col("rep"))
@@ -174,9 +205,21 @@ class IncrementalPipeline:
             )
             .dropDuplicates(["conv_id_a", "conv_id_b"])
         )
+        # text lookup for scoring: only conv_ids that appear in a candidate
+        # pair are ever joined, so the corpus side is bucket-pruned on the
+        # candidate id set (I/O ∝ candidates, not corpus)
         texts = batch_docs.select("conv_id", "doc_sha", "norm_text")
-        if corpus is not None:
-            texts = corpus.select("conv_id", "doc_sha", "norm_text").unionByName(texts)
+        if self.wh.exists("corpus_docs"):
+            cand_ids = (
+                cand.select(F.col("conv_id_a").alias("conv_id"))
+                .unionByName(cand.select(F.col("conv_id_b").alias("conv_id")))
+                .distinct()
+            )
+            corpus_texts, text_pruning = self.wh.read_bucket_pruned(
+                "corpus_docs", cand_ids, "conv_id"
+            )
+            metrics.record_count("ingest.text_lookup", 0, **text_pruning)
+            texts = corpus_texts.select("conv_id", "doc_sha", "norm_text").unionByName(texts)
         # exact-exclusion (J4) is SHA-INEQUALITY, not an edge anti-join: exact
         # edges are stars now, so two non-rep members of one sha group never
         # appear in `exact` — equal shas are the complete exclusion criterion
@@ -228,6 +271,23 @@ class IncrementalPipeline:
             buckets_touched=stats["buckets_touched"],
             buckets_total=stats["buckets_total"],
         )
+        # corpus_reps index: upsert the batch shas' rep rows (existing shas
+        # rewrite their identical row — idempotent; I/O ∝ touched buckets).
+        # First write on a legacy warehouse backfills from the post-merge
+        # corpus so the index is COMPLETE (a batch-only seed would make old
+        # shas look new to later probes and silently split their groups).
+        if self.wh.exists("corpus_reps"):
+            self.wh.upsert(
+                "corpus_reps", reps.select("doc_sha", "rep"), key="doc_sha", n_buckets=cfg.warehouse_buckets
+            )
+        else:
+            seed = (
+                self.wh.read("corpus_docs")
+                .groupBy("doc_sha")
+                .agg(F.min("conv_id").alias("rep"))
+            )
+            self.wh.upsert("corpus_reps", seed, key="doc_sha", n_buckets=cfg.warehouse_buckets)
+
         # corpus_bands: hash-bucketed by band_hash (append-only — band rows
         # are immutable per conv) so the probe above prunes buckets at scan
         self.wh.append_bucketed(
@@ -285,25 +345,33 @@ class IncrementalPipeline:
         (database.py:328-358) under TTL/tombstone churn."""
         # materialize: the keys are derived from tables the deletes rewrite
         dead = dead.select("conv_id").distinct().localCheckpoint(eager=True)
-        restar = None
-        if self.wh.exists("corpus_docs") and self.wh.exists("edges"):
+        restar, dead_shas, new_reps = None, None, None
+        if self.wh.exists("corpus_docs"):
             docs = self.wh.read("corpus_docs").select("conv_id", "doc_sha")
-            dead_shas = docs.join(dead, "conv_id", "left_semi").select("doc_sha").distinct()
+            dead_shas = (
+                docs.join(dead, "conv_id", "left_semi")
+                .select("doc_sha")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
             survivors = docs.join(dead, "conv_id", "left_anti").join(
                 dead_shas, "doc_sha", "left_semi"
             )
-            new_reps = survivors.groupBy("doc_sha").agg(F.min("conv_id").alias("rep"))
-            restar = (
-                survivors.join(new_reps, "doc_sha")
-                .where(F.col("conv_id") != F.col("rep"))
-                .select(
-                    F.col("rep").alias("conv_id_a"),
-                    F.col("conv_id").alias("conv_id_b"),
-                    F.lit(100.0).alias("score"),
-                    F.lit("exact").alias("method"),
+            new_reps = survivors.groupBy("doc_sha").agg(
+                F.min("conv_id").alias("rep")
+            ).localCheckpoint(eager=True)
+            if self.wh.exists("edges"):
+                restar = (
+                    survivors.join(new_reps, "doc_sha")
+                    .where(F.col("conv_id") != F.col("rep"))
+                    .select(
+                        F.col("rep").alias("conv_id_a"),
+                        F.col("conv_id").alias("conv_id_b"),
+                        F.lit(100.0).alias("score"),
+                        F.lit("exact").alias("method"),
+                    )
+                    .localCheckpoint(eager=True)  # compute BEFORE the rewrites below
                 )
-                .localCheckpoint(eager=True)  # compute BEFORE the rewrites below
-            )
         n = self.wh.delete_keys("corpus_docs", dead, "conv_id")
         if self.wh.exists("corpus_bands"):
             self.wh.delete_keys("corpus_bands", dead, "conv_id")
@@ -311,6 +379,12 @@ class IncrementalPipeline:
             self.wh.delete_keys("edges", dead, ["conv_id_a", "conv_id_b"])
             if restar is not None:
                 self.wh.upsert("edges", restar, key=["conv_id_a", "conv_id_b"])
+        # corpus_reps maintenance: affected shas drop their (possibly dead)
+        # rep row, then surviving groups re-point at their new min — keeping
+        # the index exactly in sync with the re-star edges above
+        if self.wh.exists("corpus_reps") and dead_shas is not None:
+            self.wh.delete_keys("corpus_reps", dead_shas, "doc_sha")
+            self.wh.upsert("corpus_reps", new_reps.select("doc_sha", "rep"), key="doc_sha")
         if n and self.wh.exists("clusters"):
             self.recompute_clusters()
         return n

@@ -177,6 +177,8 @@ class Warehouse:
         # the touched-bucket list is ≤ n_buckets small ints — a bounded
         # driver-side value, NOT a key collect
         touched = [r["_bucket"] for r in df2.select("_bucket").distinct().collect()]
+        if not touched:  # empty batch: nothing to merge, nothing rewritten
+            return {"rows_written": 0, "buckets_touched": 0, "buckets_total": n_buckets}
         current = self._read_raw(table).where(F.col("_bucket").isin(touched))
         merged = (
             current.join(df2.select(*keys).distinct(), keys, "left_anti")

@@ -217,3 +217,44 @@ def test_purge_heals_exact_star_when_rep_deleted(spark, pipe):
     r = pipe.process_batch(_turns(spark, _conv("f_fut", BASE, ts=TS + timedelta(days=3))))
     clusters = {r.conv_id: r.cluster_id for r in r["clusters"].collect()}
     assert clusters == {"d_mid": "d_mid", "e_new": "d_mid", "f_fut": "d_mid"}
+
+
+def test_corpus_reps_index_maintained(spark, pipe):
+    """The corpus_reps index (sha → group rep, bucketed by sha) must stay an
+    exact function of corpus_docs across batches AND purges — it is what the
+    exact probe reads instead of re-aggregating the corpus every micro-batch."""
+    pipe.process_batch(_turns(spark, _conv("c_one", BASE)))
+    pipe.process_batch(_turns(spark, _conv("d_two", BASE, ts=TS + timedelta(days=1))))
+    other = ["a totally different conversation body here " * 4, "yes entirely different " * 5]
+    pipe.process_batch(_turns(spark, _conv("e_oth", other, ts=TS + timedelta(days=2))))
+
+    reps = {r.doc_sha: r.rep for r in pipe.wh.read("corpus_reps").collect()}
+    docs = pipe.wh.read("corpus_docs").collect()
+    expect = {}
+    for r in docs:
+        expect[r.doc_sha] = min(expect.get(r.doc_sha, r.conv_id), r.conv_id)
+    assert reps == expect and len(reps) == 2
+
+    # purge the rep of the duplicate group: the index re-points at the new min
+    pipe.purge_deleted(spark.createDataFrame([("c_one",)], "conv_id string"))
+    reps = {r.doc_sha: r.rep for r in pipe.wh.read("corpus_reps").collect()}
+    docs = pipe.wh.read("corpus_docs").collect()
+    expect = {}
+    for r in docs:
+        expect[r.doc_sha] = min(expect.get(r.doc_sha, r.conv_id), r.conv_id)
+    assert reps == expect
+    assert reps[[r.doc_sha for r in docs if r.conv_id == "d_two"][0]] == "d_two"
+
+    # probe I/O lineage: the rep probe reads a bounded bucket subset
+    m = (
+        pipe.wh.read("_metrics")
+        .where(F.col("stage") == "ingest.rep_probe")
+        .orderBy(F.desc("recorded_at"))
+        .limit(1)
+        .collect()
+    )
+    assert m, "rep_probe pruning metrics missing"
+    import json as _json
+
+    extra = _json.loads(m[0]["extra"])
+    assert extra["buckets_read"] <= extra["buckets_total"]
