@@ -499,6 +499,27 @@ def _q_transcripts_exact_clusters(spark, sf):
     return docs.join(reps, "doc_sha").select("conv_id", "cluster_id")
 
 
+def _q_transcripts_incremental_clusters(spark, sf):
+    """End-to-end check of the INCREMENTAL machinery against the same DuckDB
+    oracle as its batch twin: the derived transcripts split into two
+    micro-batches by conv_id hash, processed through a fresh warehouse
+    (bucketed MERGE, corpus_reps index, pruned band probe, CC) with the fuzzy
+    channel disabled (thresh=0 ⇒ ratio floor 1.0 ⇒ exact-only), so the final
+    clusters table must equal the batch exact-cluster oracle row-for-row —
+    order of arrival must not matter."""
+    import tempfile
+
+    from repostcheckerbot_spark.operators.ingest import IncrementalPipeline
+    from repostcheckerbot_spark.sinks.state import Warehouse
+
+    tr = transcripts_from_documents(spark, sf)
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="rcb_incr_oracle_"))
+    pipe = IncrementalPipeline(wh, PipelineConfig(thresh=0))
+    pipe.process_batch(tr.where(F.abs(F.xxhash64("conv_id")) % 2 == 0))
+    out = pipe.process_batch(tr.where(F.abs(F.xxhash64("conv_id")) % 2 == 1))
+    return out["clusters"].select("conv_id", "cluster_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_edges": _q_exact_dup_edges,
@@ -545,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_doc_assembly": _q_transcripts_doc_assembly,
         "transcripts_flagship_clusters": _q_transcripts_flagship_clusters,
         "transcripts_exact_clusters": _q_transcripts_exact_clusters,
+        "transcripts_incremental_clusters": _q_transcripts_incremental_clusters,
     }
 
 
@@ -1136,4 +1158,7 @@ def oracle_sql() -> dict[str, str]:
     # pigeonhole argument as the single-chunk scheme, so the ACCEPTED pair set
     # (hamming < max_hamming) is identical — the oracle is shared verbatim.
     sql["simhash_near_pairs_manku"] = sql["simhash_near_pairs"]
+    # the incremental pipeline with the fuzzy channel disabled must land on
+    # the identical exact clusters, whatever the batch split — shared oracle.
+    sql["transcripts_incremental_clusters"] = sql["transcripts_exact_clusters"]
     return sql

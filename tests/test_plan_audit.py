@@ -39,7 +39,7 @@ ALLOWED_BNLJ = {
 #: queries that EXECUTE jobs while building (full pipeline / iterative CC) —
 #: their plan discipline is asserted by their own tests (test_pipeline,
 #: test_extensions) and they are too slow to audit as a plan string here.
-SKIP = {"transcripts_flagship_clusters"}
+SKIP = {"transcripts_flagship_clusters", "transcripts_incremental_clusters"}
 
 
 def _audited_names():
