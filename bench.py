@@ -45,11 +45,43 @@ def main() -> None:
     sf_label = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     q = ent.queries()
 
+    import shutil
+    import tempfile
+
+    from repostcheckerbot_spark.operators.ingest import IncrementalPipeline
+    from repostcheckerbot_spark.sinks.state import Warehouse
+
     # flagship: the full ER pipeline (count forces full materialization)
     def flagship():
         tr = transcripts_from_documents(spark, SF_DIR)
         res = run_batch(tr, PipelineConfig())
         return res.clusters.where(F.col("conv_id") != F.col("cluster_id")).count()
+
+    # incremental micro-batch latency: 10% of the conversations arriving
+    # against a warehouse holding the other 90% — the number that proves the
+    # bucket-pruned probes (corpus_reps index, band semi-join, text lookup)
+    # in WALL-CLOCK terms, not just metrics rows. The 90% corpus is built
+    # ONCE (untimed); each timed run clones that warehouse so state is
+    # identical across the best-of-N runs.
+    _incr_template = tempfile.mkdtemp(prefix="rcb_bench_incr_tpl_")
+
+    def _build_incr_template():
+        tr = transcripts_from_documents(spark, SF_DIR)
+        big = tr.where(F.abs(F.xxhash64("conv_id")) % 10 != 0)
+        pipe = IncrementalPipeline(Warehouse(spark, _incr_template), PipelineConfig())
+        pipe.process_batch(big)
+
+    def incremental_microbatch():
+        tr = transcripts_from_documents(spark, SF_DIR)
+        small = tr.where(F.abs(F.xxhash64("conv_id")) % 10 == 0)
+        wh_dir = tempfile.mkdtemp(prefix="rcb_bench_incr_run_")
+        shutil.rmtree(wh_dir)
+        shutil.copytree(_incr_template, wh_dir)
+        pipe = IncrementalPipeline(Warehouse(spark, wh_dir), PipelineConfig())
+        out = pipe.process_batch(small)
+        n = out["clusters"].where(F.col("conv_id") != F.col("cluster_id")).count()
+        shutil.rmtree(wh_dir, ignore_errors=True)
+        return n
 
     def lsh_candidates():
         docs = assemble_docs(transcripts_from_documents(spark, SF_DIR))
@@ -58,6 +90,7 @@ def main() -> None:
 
     suite: list[tuple[str, object]] = [
         ("flagship_pipeline", flagship),
+        ("incremental_microbatch", incremental_microbatch),
         ("lsh_candidates_xxhash", lsh_candidates),
         ("exact_dedup", lambda: q["dedup_keep_first"](spark, SF_DIR).count()),
         ("simhash", lambda: q["simhash"](spark, SF_DIR).count()),
@@ -76,6 +109,7 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
         run_batch(transcripts_from_documents(spark, warm_dir), PipelineConfig()).clusters.count()
+    _build_incr_template()  # 90% corpus for the micro-batch query (untimed)
 
     all_runs: dict[str, list[float]] = {name: [] for name, _ in suite}
     counts: dict[str, int] = {}

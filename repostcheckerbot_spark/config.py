@@ -59,6 +59,15 @@ class PipelineConfig:
     #: max candidate pairs scored per Arrow batch (memory bound for the UDF).
     score_batch_size: int = 2_000
 
+    # --- incremental clustering -------------------------------------------
+    #: corpus size (clusters rows) above which process_batch switches from
+    #: full-recompute CC to the incremental affected-component update. The
+    #: incremental path's extra joins/merge only pay off once the full
+    #: rewrite is the dominant cost (measured: at ≤5k-conv corpora full
+    #: recompute is ~1.4× faster; the crossover is well below this at real
+    #: scale, where a full clusters rewrite per micro-batch is unshippable).
+    incremental_clusters_min_corpus: int = 200_000
+
     # --- clustering --------------------------------------------------------
     #: checkpoint every N star-contraction rounds to cut lineage.
     cc_checkpoint_interval: int = 1

@@ -258,3 +258,37 @@ def test_corpus_reps_index_maintained(spark, pipe):
 
     extra = _json.loads(m[0]["extra"])
     assert extra["buckets_read"] <= extra["buckets_total"]
+
+
+def test_incremental_cluster_update_matches_full_recompute(spark, tmp_path):
+    """The affected-component incremental cluster update (taken when the
+    corpus exceeds cfg.incremental_clusters_min_corpus) must produce the
+    IDENTICAL clusters table as the full-recompute path, batch for batch —
+    including cross-batch merges of previously separate components."""
+    full = IncrementalPipeline(
+        Warehouse(spark, str(tmp_path / "wh_full")), PipelineConfig()
+    )
+    incr = IncrementalPipeline(
+        Warehouse(spark, str(tmp_path / "wh_incr")),
+        PipelineConfig(incremental_clusters_min_corpus=0),
+    )
+    other = ["entirely different content in this conversation " * 4, "another reply " * 6]
+    batches = [
+        _turns(spark, _conv("c_a", BASE) + _conv("x_1", other)),
+        _turns(spark, _conv("d_b", BASE, ts=TS + timedelta(days=1))),
+        # merges BASE group (c_a,d_b) with a new copy AND starts a new group
+        _turns(
+            spark,
+            _conv("e_c", BASE, ts=TS + timedelta(days=2))
+            + _conv("y_2", other, ts=TS + timedelta(days=2)),
+        ),
+    ]
+    for b in batches:
+        full.process_batch(b)
+        incr.process_batch(b)
+        got_f = {r.conv_id: r.cluster_id for r in full.wh.read("clusters").collect()}
+        got_i = {r.conv_id: r.cluster_id for r in incr.wh.read("clusters").collect()}
+        assert got_f == got_i
+    assert got_i == {
+        "c_a": "c_a", "d_b": "c_a", "e_c": "c_a", "x_1": "x_1", "y_2": "x_1",
+    }
