@@ -7,24 +7,30 @@ accumulated state (database.py:288-711), (4) appended (database.py:714-775).
 Matches whose original was deleted upstream are dropped and purged
 (database.py:649-676).
 
-Spark rendering: one micro-batch job over a corpus of assembled docs.
+Spark rendering: one micro-batch job over a corpus of assembled docs, with
+EVERY corpus-side read bucket-pruned so per-batch I/O is proportional to the
+batch, never the corpus:
 
   new turns → assemble → age gate
-    → LEFT ANTI join corpus on conv_id          (J1  identity skip)
-    → exact:  equi-join corpus on doc_sha       (J2  — corpus side bucketed
-              by sha; probe side usually small → broadcast)
-    → fuzzy:  LSH bands of the batch JOIN persisted bands of the corpus
-              (probe bands ⋈ corpus bands on (block, band_id, band_hash)) —
-              the batch never rescans corpus text, only colliding buckets
+    → LEFT ANTI join pruned corpus on conv_id   (J1  identity skip)
+    → exact:  probe the ``corpus_reps`` index   (J2  — sha → group rep,
+              bucketed by sha; one star edge per batch doc)
+    → fuzzy:  batch bands ⋈ colliding corpus bands only (bucket-pruned scan
+              + broadcast semi-join on the batch band keys before capping)
+    → score:  texts joined from the CANDIDATE id set's buckets only
     → anti-join tombstones                       (J5)
-    → upsert docs+bands into corpus state        (ST5 idempotent MERGE)
-    → re-run CC on (old edges ∪ new edges)
+    → upsert docs/bands/reps/edges state         (ST5 idempotent bucketed
+              MERGEs — write I/O ∝ touched buckets)
+    → clusters: hybrid update — full recompute below
+      cfg.incremental_clusters_min_corpus, affected-component-only CC merged
+      into the bucketed clusters table above it
 
-State tables (Warehouse): ``corpus_docs`` (conv_id, doc_sha, norm_text, tool,
-first_ts, …), ``corpus_bands`` (block cols, band_id, band_hash, conv_id),
-``edges``, ``clusters``, ``_metrics``. At cluster scale these are Iceberg
-tables partitioned by bucket(conv_id) / (band_id) respectively; here parquet
-behind the same interface.
+State tables (Warehouse): ``corpus_docs`` (bucketed by conv_id),
+``corpus_bands`` (bucketed by band_hash), ``corpus_reps`` (doc_sha → rep,
+bucketed by doc_sha), ``edges`` (pair key, bucketed by conv_id_a),
+``clusters`` (bucketed by conv_id), ``_metrics``. At cluster scale these are
+Iceberg ``bucket(...)``-partitioned tables; here parquet behind the same
+interface.
 """
 
 from __future__ import annotations
