@@ -175,6 +175,83 @@ def _q_doc_fingerprints(spark, sf):
     return d.select("doc_id", textstats.doc_fingerprint(F.col("text"), k=8).alias("fingerprint"))
 
 
+def _q_pii_redaction(spark, sf):
+    d = load(spark, sf, "documents")
+    # the synthetic corpus carries no PII — graft a deterministic specimen per
+    # doc (email + IPv4 + phone derived from doc_id) so the redaction
+    # demonstrably fires; the oracle states the identical augmentation.
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"), F.col("doc_id").cast("string"), F.lit("@example.com"),
+            F.lit(" node 10.1."), (F.col("doc_id") % 250).cast("string"), F.lit(".7"),
+            F.lit(" call 555-"), F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    r = textstats.redact_pii(aug)
+    return r.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_ips").cast("long").alias("n_ips"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        "redacted",
+    )
+
+
+def _q_gopher_quality_flags(spark, sf):
+    r = textstats.gopher_flags(load(spark, sf, "documents"))
+    return r.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len_micros",
+        "alpha_frac_micros",
+        "pass_word_count",
+        "pass_word_len",
+        "pass_alpha",
+        "pass_gopher",
+    )
+
+
+def _q_corpus_top_ngrams(spark, sf):
+    return textstats.top_ngrams(load(spark, sf, "documents"), n=3, k=20)
+
+
+def _q_events_asof_join(spark, sf):
+    from repostcheckerbot_spark.operators.timeseries import asof_join
+
+    e = load(spark, sf, "events")
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts", "value")
+    views = e.where(F.col("event_type") == "view").select("event_id", "user_id", "ts", "value")
+    out = asof_join(
+        clicks,
+        views,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["ts", "value"],
+        suffix="_view",
+        order_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_view").alias("view_ts"),
+        F.col("value_view").alias("view_value"),
+    )
+
+
+def _q_repetition_stats(spark, sf):
+    r = textstats.repetition_stats(load(spark, sf, "documents"))
+    return r.select("doc_id", "n_bigrams", "dup_bigram_frac_micros", "pass_repetition")
+
+
+def _q_curation_pipeline(spark, sf):
+    return textstats.curate_corpus(load(spark, sf, "documents"))
+
+
 def _q_q1_pricing_summary(spark, sf):
     li = load(spark, sf, "lineitem")
     return (
@@ -538,6 +615,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "lang_id_counts": _q_lang_id_counts,
         "doc_fingerprints": _q_doc_fingerprints,
+        "pii_redaction": _q_pii_redaction,
+        "gopher_quality_flags": _q_gopher_quality_flags,
+        "corpus_top_ngrams": _q_corpus_top_ngrams,
+        "repetition_stats": _q_repetition_stats,
+        "curation_pipeline": _q_curation_pipeline,
+        "events_asof_join": _q_events_asof_join,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "top_orders_by_revenue": _q_top_orders_by_revenue,
         "customer_with_orders": _q_customer_with_orders,
@@ -883,6 +966,189 @@ def oracle_sql() -> dict[str, str]:
               FROM norm, unnest(range(1, greatest(length(t) - 7, 1) + 1)) u(i)
             )
             SELECT doc_id, min(m) AS fingerprint FROM sh GROUP BY doc_id
+        """,
+        # identical regex constants injected from textstats (placeholders, not
+        # f-strings: the patterns contain {2,} braces); identical sequential
+        # count-then-redact order
+        "pii_redaction": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact doc' || CAST(doc_id AS VARCHAR) || '@example.com'
+                          || ' node 10.1.' || CAST(doc_id % 250 AS VARCHAR) || '.7'
+                          || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                          || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+              FROM documents
+            ),
+            s1 AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '__EMAIL__')) AS BIGINT) AS n_emails,
+                     regexp_replace(text, '__EMAIL__', '[EMAIL]', 'g') AS t1
+              FROM aug
+            ),
+            s2 AS (
+              SELECT doc_id, n_emails,
+                     CAST(len(regexp_extract_all(t1, '__IP__')) AS BIGINT) AS n_ips,
+                     regexp_replace(t1, '__IP__', '[IP]', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id, n_emails, n_ips,
+                   CAST(len(regexp_extract_all(t2, '__PHONE__')) AS BIGINT) AS n_phones,
+                   regexp_replace(t2, '__PHONE__', '[PHONE]', 'g') AS redacted
+            FROM s2
+        """.replace("__EMAIL__", textstats.EMAIL_RE)
+        .replace("__IP__", textstats.IPV4_RE)
+        .replace("__PHONE__", textstats.PHONE_RE),
+        "gopher_quality_flags": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     string_split_regex(lower(trim(text)), '\\s+') AS words
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(words) END AS BIGINT) AS n_words,
+                     CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT) AS total_chars,
+                     CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha
+              FROM w
+            ),
+            m AS (
+              SELECT doc_id, n_words,
+                     CAST(CASE WHEN n_words > 0
+                          THEN floor(total_chars / n_words * 1000000) ELSE 0 END AS BIGINT) AS mean_word_len_micros,
+                     CAST(CASE WHEN n_words > 0
+                          THEN floor(n_alpha / n_words * 1000000) ELSE 0 END AS BIGINT) AS alpha_frac_micros
+              FROM s
+            )
+            SELECT doc_id, n_words, mean_word_len_micros, alpha_frac_micros,
+                   (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+                   (mean_word_len_micros >= 3000000 AND mean_word_len_micros <= 10000000) AS pass_word_len,
+                   (alpha_frac_micros >= 800000) AS pass_alpha,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND (mean_word_len_micros >= 3000000 AND mean_word_len_micros <= 10000000)
+                    AND (alpha_frac_micros >= 800000)) AS pass_gopher
+            FROM m
+        """,
+        "corpus_top_ngrams": """
+            WITH w AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+              FROM documents
+            ),
+            ng AS (
+              SELECT DISTINCT doc_id,
+                     w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2] AS ngram
+              FROM w, unnest(range(1, len(w) - 1)) u(i)
+              WHERE len(w) >= 3
+            ),
+            dfq AS (SELECT ngram, count(*) AS df FROM ng GROUP BY ngram)
+            SELECT ngram, df, rnk FROM (
+              SELECT ngram, df,
+                     CAST(row_number() OVER (ORDER BY df DESC, ngram ASC) AS INT) AS rnk
+              FROM dfq
+            ) WHERE rnk <= 20
+        """,
+        "repetition_stats": """
+            WITH w AS (
+              SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS words
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) > 0 AND len(words) >= 2
+                          THEN list_transform(range(1, len(words)),
+                               i -> words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT) + 1])
+                          ELSE CAST([] AS VARCHAR[]) END AS grams
+              FROM w
+            ),
+            s AS (
+              SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_bigrams,
+                     CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct
+              FROM g
+            ),
+            m AS (
+              SELECT doc_id, n_bigrams,
+                     CAST(CASE WHEN n_bigrams > 0
+                          THEN floor((n_bigrams - n_distinct) / n_bigrams * 1000000)
+                          ELSE 0 END AS BIGINT) AS dup_bigram_frac_micros
+              FROM s
+            )
+            SELECT doc_id, n_bigrams, dup_bigram_frac_micros,
+                   (dup_bigram_frac_micros <= 150000) AS pass_repetition
+            FROM m
+        """,
+        # end-to-end curation keep-list: identical gate order + formulas as
+        # textstats.curate_corpus (placeholder → gopher → repetition → lang →
+        # exact dedup keep-first among survivors)
+        "curation_pipeline": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              WHERE text IS NOT NULL AND text NOT IN ('&#x200B;', '', '[removed]', '[deleted]')
+            ),
+            w AS (
+              SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS words
+              FROM base
+            ),
+            s AS (
+              SELECT doc_id, text, words,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(words) END AS BIGINT) AS n_words,
+                     CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT) AS total_chars,
+                     CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+                     CAST(len(list_filter(words, x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) AS BIGINT) AS n_stop,
+                     CASE WHEN length(trim(text)) > 0 AND len(words) >= 2
+                          THEN list_transform(range(1, len(words)),
+                               i -> words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT) + 1])
+                          ELSE CAST([] AS VARCHAR[]) END AS grams
+              FROM w
+            ),
+            m AS (
+              SELECT doc_id, text, n_words, n_stop,
+                     CAST(CASE WHEN n_words > 0 THEN floor(total_chars / n_words * 1000000) ELSE 0 END AS BIGINT) AS mean_word_len_micros,
+                     CAST(CASE WHEN n_words > 0 THEN floor(n_alpha / n_words * 1000000) ELSE 0 END AS BIGINT) AS alpha_frac_micros,
+                     CAST(len(grams) AS BIGINT) AS n_bigrams,
+                     CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct
+              FROM s
+            ),
+            r AS (
+              SELECT doc_id, text, n_words, n_stop, mean_word_len_micros, alpha_frac_micros,
+                     CAST(CASE WHEN n_bigrams > 0
+                          THEN floor((n_bigrams - n_distinct) / n_bigrams * 1000000)
+                          ELSE 0 END AS BIGINT) AS dup_bigram_frac_micros
+              FROM m
+            ),
+            gated AS (
+              SELECT * FROM r
+              WHERE n_words >= 50 AND n_words <= 100000
+                AND mean_word_len_micros >= 3000000 AND mean_word_len_micros <= 10000000
+                AND alpha_frac_micros >= 800000
+                AND dup_bigram_frac_micros <= 150000
+                AND n_words > 0 AND CAST(n_stop AS DOUBLE) / n_words >= 0.08
+            ),
+            norm AS (
+              SELECT *, md5(regexp_replace(text, '\\s+', '', 'g')) AS content_md5 FROM gated
+            ),
+            keep AS (SELECT content_md5, min(doc_id) AS doc_id FROM norm GROUP BY content_md5)
+            SELECT n.doc_id, n.n_words, n.mean_word_len_micros, n.alpha_frac_micros, n.dup_bigram_frac_micros
+            FROM norm n JOIN keep k ON n.content_md5 = k.content_md5 AND n.doc_id = k.doc_id
+        """,
+        # the as-of join stated as the same tag-union + forward-fill the Spark
+        # operator uses (operators/timeseries.asof_join) — at-or-before
+        # semantics, right rows ordered before left at equal ts, event_id ties
+        "events_asof_join": """
+            WITH t AS (
+              SELECT event_id, user_id, ts, value,
+                     CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS side
+              FROM events WHERE event_type IN ('view', 'click')
+            ),
+            f AS (
+              SELECT event_id, user_id, ts, side,
+                     last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, side, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_ts,
+                     last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, side, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_value
+              FROM t
+            )
+            SELECT event_id, user_id, ts, view_ts, view_value FROM f WHERE side = 1
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

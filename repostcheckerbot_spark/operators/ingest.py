@@ -415,7 +415,30 @@ class IncrementalPipeline:
         (database.py:328-358) under TTL/tombstone churn."""
         # materialize: the keys are derived from tables the deletes rewrite
         dead = dead.select("conv_id").distinct().localCheckpoint(eager=True)
-        restar, dead_shas, new_reps = None, None, None
+        restar, dead_shas, new_reps, dead_bands = None, None, None, None
+        if self.wh.exists("corpus_bands") and self.wh.exists("corpus_docs"):
+            # corpus_bands is bucketed by band_hash — unprunable by conv_id
+            # directly. But the doomed rows' band keys are DETERMINISTIC in
+            # (stored norm_text, blocking config), so recompute them from the
+            # dead docs (one narrow Arrow pass over |dead| rows, read bucket-
+            # pruned by conv_id) and hand them to delete_keys as the prune
+            # hint: the delete then rewrites only the band_hash buckets that
+            # actually hold a doomed row — I/O ∝ dead set, not the bands
+            # table. (The pre-r3 shape was a full-table rewrite per purge.)
+            # Invariant this leans on: the warehouse's blocking config equals
+            # the ingest-time config — changing bands/rows_per_band/shingle_k
+            # mid-life requires rebuilding corpus_bands, whose stored rows
+            # would be stale for probes anyway.
+            dd, _ = self.wh.read_bucket_pruned("corpus_docs", dead, "conv_id")
+            dd = dd.join(dead, "conv_id", "left_semi")
+            dead_bands = (
+                with_bands(
+                    with_signature(dd, self.cfg).select("conv_id", "minhash"), self.cfg
+                )
+                .select("band_hash")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
         if self.wh.exists("corpus_docs"):
             docs = self.wh.read("corpus_docs").select("conv_id", "doc_sha")
             dead_shas = (
@@ -444,7 +467,7 @@ class IncrementalPipeline:
                 )
         n = self.wh.delete_keys("corpus_docs", dead, "conv_id")
         if self.wh.exists("corpus_bands"):
-            self.wh.delete_keys("corpus_bands", dead, "conv_id")
+            self.wh.delete_keys("corpus_bands", dead, "conv_id", prune_hint=dead_bands)
         if self.wh.exists("edges"):
             self.wh.delete_keys("edges", dead, ["conv_id_a", "conv_id_b"])
             if restar is not None:

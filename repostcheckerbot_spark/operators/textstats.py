@@ -5,14 +5,21 @@ a DuckDB oracle can state the identical formula:
 
 - token_count       — whitespace tokenization + a BPE-ish sub-token regex count
 - quality_score     — length / punctuation / stopword-ratio heuristics
+- gopher_flags      — published Gopher-style per-doc quality filter rules
 - lang_id           — stopword-hit heuristic (deterministic n-gram-free v1)
 - doc_fingerprint   — min-md5 shingle fingerprint (rolling-hash analog with a
                       portable hash so the oracle can reproduce it)
+- redact_pii        — email / IPv4 / phone redaction with per-class counts
+- top_ngrams        — corpus-level top-k word n-grams by document frequency
+
+Regex patterns are kept inside the (large) dialect intersection of Java
+regex (Spark) and RE2 (DuckDB): character classes, ``\\b``, bounded repeats —
+no backreferences or lookaround.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tiny English stopword list — deterministic, shared verbatim with the oracle.
@@ -64,6 +71,160 @@ def lang_id(text_col: Column) -> Column:
     n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
     ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
     return F.when(ratio >= 0.08, F.lit("en")).otherwise(F.lit("unk"))
+
+
+#: PII patterns — dialect-portable (Java regex ∩ RE2, see module docstring).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails, IPv4 addresses, and NNN-NNN-NNNN phone numbers — the
+    standard pre-training privacy pass. Adds ``n_emails / n_ips / n_phones``
+    and ``redacted`` (the scrubbed text). All JVM-side regexp ops.
+
+    Classes are counted and replaced SEQUENTIALLY (emails → IPs → phones),
+    each on the output of the previous replacement: an address inside an
+    email's local part (``10.1.2.3@host``) counts as email, not IP — the
+    counts partition the matches instead of double-counting overlaps, and
+    the sequence is trivially mirrored by an oracle.
+    """
+    emails_gone = F.regexp_replace(F.col(text_col), EMAIL_RE, "[EMAIL]")
+    ips_gone = F.regexp_replace(emails_gone, IPV4_RE, "[IP]")
+    all_gone = F.regexp_replace(ips_gone, PHONE_RE, "[PHONE]")
+    return (
+        docs.withColumn("n_emails", F.regexp_count(F.col(text_col), F.lit(EMAIL_RE)))
+        .withColumn("n_ips", F.regexp_count(emails_gone, F.lit(IPV4_RE)))
+        .withColumn("n_phones", F.regexp_count(ips_gone, F.lit(PHONE_RE)))
+        .withColumn("redacted", all_gone)
+    )
+
+
+def gopher_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality-filter flags in the style of the published Gopher
+    rules (Rae et al. 2021, §A1.1 — public paper): word-count bounds, mean
+    word length bounds, minimum alphabetic-word fraction. Thresholds follow
+    the paper; the 50-word floor also matches C4's short-doc drop.
+
+    Ratio columns are integer MILLIONTHS (floor·1e6 — same engine-portable
+    convention as :func:`quality_score`). Flags are plain booleans so the
+    downstream keep/drop filter is one ANDed predicate at the scan.
+    """
+    t = F.col(text_col)
+    words = F.split(F.lower(F.trim(t)), r"\s+")
+    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(words)).cast("long")
+    total_chars = F.aggregate(words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    mean_wlen_micros = F.when(
+        n_words > 0, F.floor(total_chars / n_words * 1000000)
+    ).otherwise(F.lit(0)).cast("long")
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    alpha_frac_micros = F.when(
+        n_words > 0, F.floor(n_alpha / n_words * 1000000)
+    ).otherwise(F.lit(0)).cast("long")
+    pass_nw = (n_words >= 50) & (n_words <= 100_000)
+    pass_wl = (mean_wlen_micros >= 3_000_000) & (mean_wlen_micros <= 10_000_000)
+    pass_af = alpha_frac_micros >= 800_000
+    return (
+        docs.withColumn("n_words", n_words)
+        .withColumn("mean_word_len_micros", mean_wlen_micros)
+        .withColumn("alpha_frac_micros", alpha_frac_micros)
+        .withColumn("pass_word_count", pass_nw)
+        .withColumn("pass_word_len", pass_wl)
+        .withColumn("pass_alpha", pass_af)
+        .withColumn("pass_gopher", pass_nw & pass_wl & pass_af)
+    )
+
+
+def top_ngrams(docs: DataFrame, n: int = 3, k: int = 20, text_col: str = "text") -> DataFrame:
+    """Top-``k`` word ``n``-grams by DOCUMENT frequency (each doc counts an
+    n-gram once) — the corpus-statistics pass behind boilerplate detection.
+
+    Shape at scale: the n-gram explode is narrow (scan-side), the only wide
+    ops are one distinct + one groupBy on the n-gram, and the final top-k is
+    sort+limit (``TakeOrderedAndProject`` — per-partition heaps merged on the
+    driver, never a global sort), with the rank window applied to the k
+    surviving rows only. Ties break lexicographically for determinism.
+    """
+    ngram = F.concat_ws(" ", *[F.element_at(F.col("_w"), F.lit(i + 1)) for i in range(n)])
+    grams = (
+        docs.select(F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w0"), "*")
+        .where(F.size("_w0") >= n)
+        .select(
+            F.col("doc_id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_w0") - n),
+                    lambda i: F.slice(F.col("_w0"), i + 1, n),
+                )
+            ).alias("_w"),
+        )
+        .select("doc_id", ngram.alias("ngram"))
+        .distinct()
+    )
+    counted = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
+    topk = counted.orderBy(F.desc("df"), F.asc("ngram")).limit(k)
+    w = Window.orderBy(F.desc("df"), F.asc("ngram"))
+    return topk.select("ngram", "df", F.row_number().over(w).cast("int").alias("rnk"))
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition (the Gopher duplicate-n-gram rule family):
+    the fraction of word bigrams that are repeats of an earlier bigram in the
+    same doc, as integer millionths. ``pass_repetition`` fails docs whose
+    bigram duplicate fraction exceeds 15% — boilerplate/spam signature.
+
+    Narrow per-row expression (no shuffle at all): the bigram list, its
+    distinct count, and the ratio all evaluate scan-side in codegen.
+    """
+    t = F.col(text_col)
+    words = F.split(F.lower(F.trim(t)), r"\s+")
+    grams = F.when(
+        (F.length(F.trim(t)) > 0) & (F.size(words) >= 2),
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams).cast("long")
+    n_distinct = F.size(F.array_distinct(grams)).cast("long")
+    dup_frac_micros = F.when(
+        n_grams > 0, F.floor((n_grams - n_distinct) / n_grams * 1000000)
+    ).otherwise(F.lit(0)).cast("long")
+    return (
+        docs.withColumn("n_bigrams", n_grams)
+        .withColumn("dup_bigram_frac_micros", dup_frac_micros)
+        .withColumn("pass_repetition", dup_frac_micros <= 150_000)
+    )
+
+
+def curate_corpus(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The end-to-end keep-list a pre-training curation pass produces —
+    placeholder drop → Gopher quality gates → repetition gate → language
+    gate → exact dedup keep-first AMONG THE SURVIVORS (the keeper is the min
+    doc_id of each content group inside the retained pool, so a kept doc is
+    never a duplicate of another kept doc).
+
+    Filter order is part of the contract (mirrored verbatim by the oracle):
+    row-local gates run first — they are scan-side narrow and shrink the
+    dedup's shuffle input — and the only wide ops are the dedup groupBy +
+    keeper semi-join. Returns the kept rows with their stats columns.
+    """
+    from repostcheckerbot_spark.operators import dedup_docs
+
+    gated = (
+        repetition_stats(gopher_flags(docs, text_col), text_col)
+        .where(F.col(text_col).isNotNull())
+        .where(~F.col(text_col).isin("&#x200B;", "", "[removed]", "[deleted]"))
+        .where(F.col("pass_gopher") & F.col("pass_repetition"))
+        .where(lang_id(F.col(text_col)) == "en")
+    )
+    ranked = dedup_docs.normalized(gated, text_col).withColumn("content_md5", F.md5("norm_text"))
+    keepers = ranked.groupBy("content_md5").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        ranked.join(keepers, ["content_md5", "doc_id"], "left_semi")
+        .select("doc_id", "n_words", "mean_word_len_micros", "alpha_frac_micros", "dup_bigram_frac_micros")
+    )
 
 
 def doc_fingerprint(text_col: Column, k: int = 8) -> Column:

@@ -195,7 +195,13 @@ class Warehouse:
         ).parquet(path)
         return {"rows_written": rows, "buckets_touched": len(touched), "buckets_total": n_buckets}
 
-    def delete_keys(self, table: str, keys: DataFrame, cols: list[str] | str) -> int:
+    def delete_keys(
+        self,
+        table: str,
+        keys: DataFrame,
+        cols: list[str] | str,
+        prune_hint: DataFrame | None = None,
+    ) -> int:
         """DELETE FROM table WHERE any of ``cols`` ∈ keys — as LEFT ANTI joins
         against the keys DATAFRAME. Keys are never collected to the driver
         (the r1 cut built ``isin`` literal lists — driver OOM / plan blowup
@@ -204,9 +210,16 @@ class Warehouse:
         Callers whose ``keys`` derive from THIS table must materialize them
         first (``localCheckpoint``) — the rewrite swaps the underlying files.
 
-        Bucketed tables (when deleting on the bucket key): only buckets that
-        can contain the keys are read and rewritten; buckets left empty are
-        dropped explicitly (dynamic overwrite can't write an empty partition).
+        Bucketed tables: only buckets that can contain the doomed rows are
+        read and rewritten; buckets left empty are dropped explicitly (dynamic
+        overwrite can't write an empty partition). Pruning engages when
+        (a) deleting ON the bucket key (buckets derived from ``keys``), or
+        (b) the caller supplies ``prune_hint`` — a single-column frame of
+        BUCKET-KEY values covering every doomed row (e.g. recomputed band
+        hashes of the conv_ids being purged). The hint must be COMPLETE:
+        a doomed row living in a bucket the hint misses survives silently,
+        so hints are only valid when the bucket-key values of the doomed rows
+        are deterministically derivable from the delete keys.
         """
         cols = [cols] if isinstance(cols, str) else list(cols)
         if not self.exists(table):
@@ -214,8 +227,14 @@ class Warehouse:
         kname = keys.columns[0]
         keys = keys.select(F.col(kname).alias("_k")).distinct()
         meta = self._read_table_meta(table)
-        if meta.get("n_buckets") and cols == [meta.get("bucket_key")]:
-            return self._delete_keys_bucketed(table, keys, cols[0], int(meta["n_buckets"]))
+        n_buckets = meta.get("n_buckets")
+        if n_buckets and cols == [meta.get("bucket_key")]:
+            touched = self._touched_buckets(keys, "_k", int(n_buckets))
+            return self._delete_in_buckets(table, touched, keys, cols)
+        if n_buckets and prune_hint is not None:
+            hcol = prune_hint.columns[0]
+            touched = self._touched_buckets(prune_hint, hcol, int(n_buckets))
+            return self._delete_in_buckets(table, touched, keys, cols)
         current = self._read_raw(table)
         keep = current
         for c in cols:
@@ -226,16 +245,30 @@ class Warehouse:
             self.upsert_replace(table, keep)
         return n_before - n_after
 
-    def _delete_keys_bucketed(self, table: str, keys: DataFrame, key: str, n_buckets: int) -> int:
+    def _touched_buckets(self, vals: DataFrame, col: str, n_buckets: int) -> list[int]:
+        """Bucket ids the given bucket-key values hash into — ≤ n_buckets
+        small ints, a bounded driver value (never a key collect)."""
+        kb = vals.select(
+            F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int").alias("_bucket")
+        )
+        return [r["_bucket"] for r in kb.distinct().collect()]
+
+    def _delete_in_buckets(
+        self, table: str, touched: list[int], keys: DataFrame, cols: list[str]
+    ) -> int:
+        """Anti-join delete restricted to the given bucket partitions: read
+        only those, drop rows with any of ``cols`` ∈ keys(_k), dynamic-
+        overwrite the survivors — I/O ∝ touched buckets, not the table."""
         import shutil
 
-        path = self._path(table)
-        kb = keys.select(F.pmod(F.xxhash64(F.col("_k")), F.lit(n_buckets)).cast("int").alias("_bucket"))
-        touched = [r["_bucket"] for r in kb.distinct().collect()]
         if not touched:
             return 0
+        path = self._path(table)
         current = self._read_raw(table).where(F.col("_bucket").isin(touched))
-        keep = current.join(keys.withColumnRenamed("_k", key), key, "left_anti").localCheckpoint(eager=True)
+        keep = current
+        for c in cols:
+            keep = keep.join(keys.withColumnRenamed("_k", c), c, "left_anti")
+        keep = keep.localCheckpoint(eager=True)
         n_before = current.count()
         n_after = keep.count()
         if n_after == n_before:

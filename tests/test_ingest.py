@@ -260,6 +260,57 @@ def test_corpus_reps_index_maintained(spark, pipe):
     assert extra["buckets_read"] <= extra["buckets_total"]
 
 
+def test_corpus_bands_purge_rewrites_only_dead_band_buckets(spark, tmp_path):
+    """corpus_bands is bucketed by band_hash — unprunable by conv_id directly —
+    so the purge recomputes the dead docs' band hashes and uses them as the
+    delete's prune hint. With n_buckets ≫ bands·|dead| (the 100-TB shape),
+    only the buckets actually holding a doomed row may be rewritten; every
+    other bucket directory must keep its exact file list (pre-r3 this delete
+    was a full-table rewrite)."""
+    import os
+
+    cfg = PipelineConfig(bands=8, rows_per_band=2, warehouse_buckets=64)
+    pipe = IncrementalPipeline(Warehouse(spark, str(tmp_path / "wh_bprune")), cfg)
+    rows = []
+    for i in range(40):
+        body = [f"conversation number {i} about topic {i * 37} " * 4, f"reply body {i * 91} " * 5]
+        rows += _conv(f"c{i:04d}", body)
+    pipe.process_batch(_turns(spark, rows))
+
+    bands_path = pipe.wh._path("corpus_bands")
+
+    def listing():
+        return {
+            d: sorted(os.listdir(os.path.join(bands_path, d)))
+            for d in os.listdir(bands_path)
+            if d.startswith("_bucket=")
+        }
+
+    before = listing()
+    assert len(before) > 16  # corpus bands spread over many buckets
+    n_rows_before = pipe.wh.read("corpus_bands").count()
+
+    dead = ["c0003", "c0007"]
+    pipe.purge_deleted(spark.createDataFrame([(c,) for c in dead], "conv_id string"))
+
+    after = listing()
+    # the doomed rows are fully gone, survivors intact
+    bands_now = pipe.wh.read("corpus_bands")
+    assert bands_now.where(F.col("conv_id").isin(dead)).count() == 0
+    assert bands_now.count() == n_rows_before - 2 * cfg.bands
+    # pruning: ≤ bands·|dead| buckets rewritten; the rest byte-identical
+    changed = [d for d in before if after.get(d) != before[d]]
+    assert 0 < len(changed) <= 2 * cfg.bands
+    untouched = [d for d in before if after.get(d) == before[d]]
+    assert len(untouched) >= len(before) - 2 * cfg.bands
+    # and the purged warehouse still ingests + matches correctly
+    r = pipe.process_batch(
+        _turns(spark, _conv("c0003", [f"conversation number 4 about topic {4 * 37} " * 4,
+                                      f"reply body {4 * 91} " * 5], ts=TS + timedelta(days=1)))
+    )
+    assert r["batch_docs"].count() == 1  # re-ingest after purge is allowed
+
+
 def test_incremental_cluster_update_matches_full_recompute(spark, tmp_path):
     """The affected-component incremental cluster update (taken when the
     corpus exceeds cfg.incremental_clusters_min_corpus) must produce the
