@@ -218,6 +218,15 @@ def _q_corpus_top_ngrams(spark, sf):
     return textstats.top_ngrams(load(spark, sf, "documents"), n=3, k=20)
 
 
+def _q_doc_chunks(spark, sf):
+    return textstats.chunk_documents(load(spark, sf, "documents"), max_tokens=40)
+
+
+def _q_dataset_split(spark, sf):
+    d = textstats.dataset_split(load(spark, sf, "documents"))
+    return d.select("doc_id", "split_bucket", "split")
+
+
 def _q_events_asof_join(spark, sf):
     from repostcheckerbot_spark.operators.timeseries import asof_join
 
@@ -620,6 +629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_top_ngrams": _q_corpus_top_ngrams,
         "repetition_stats": _q_repetition_stats,
         "curation_pipeline": _q_curation_pipeline,
+        "doc_chunks": _q_doc_chunks,
+        "dataset_split": _q_dataset_split,
         "events_asof_join": _q_events_asof_join,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "top_orders_by_revenue": _q_top_orders_by_revenue,
@@ -1128,6 +1139,28 @@ def oracle_sql() -> dict[str, str]:
             keep AS (SELECT content_md5, min(doc_id) AS doc_id FROM norm GROUP BY content_md5)
             SELECT n.doc_id, n.n_words, n.mean_word_len_micros, n.alpha_frac_micros, n.dup_bigram_frac_micros
             FROM norm n JOIN keep k ON n.content_md5 = k.content_md5 AND n.doc_id = k.doc_id
+        """,
+        "doc_chunks": """
+            WITH w AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+              FROM documents WHERE length(trim(text)) > 0
+            )
+            SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                   array_to_string(w[(CAST(i AS INT) * 40 + 1):(CAST(i AS INT) * 40 + 40)], ' ') AS chunk_text,
+                   CAST(len(w[(CAST(i AS INT) * 40 + 1):(CAST(i AS INT) * 40 + 40)]) AS INT) AS n_tokens
+            FROM w, unnest(range(0, CAST(ceil(len(w) / 40.0) AS INT))) u(i)
+        """,
+        "dataset_split": """
+            WITH b AS (
+              SELECT doc_id,
+                     CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS INT) AS split_bucket
+              FROM documents
+            )
+            SELECT doc_id, split_bucket,
+                   CASE WHEN split_bucket < 5 THEN 'test'
+                        WHEN split_bucket < 10 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM b
         """,
         # the as-of join stated as the same tag-union + forward-fill the Spark
         # operator uses (operators/timeseries.asof_join) — at-or-before

@@ -227,6 +227,59 @@ def curate_corpus(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(docs: DataFrame, max_tokens: int = 64, text_col: str = "text") -> DataFrame:
+    """Split every document into context-window chunks of ≤ ``max_tokens``
+    whitespace tokens: (doc_id, chunk_idx, chunk_text, n_tokens). The
+    sequence-length preprocessing step before training — each doc chunks
+    independently (narrow, scan-side, no sequential cross-doc dependency, so
+    it parallelizes embarrassingly where greedy cross-doc packing would not).
+
+    Chunk boundaries are token-aligned: chunk i takes tokens
+    [i·max_tokens, (i+1)·max_tokens) of the doc in order, re-joined with
+    single spaces (original runs of whitespace are not preserved — the
+    normalization tokenizers apply anyway).
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    chunks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<array<string>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.ceil(F.size(words) / max_tokens).cast("int") - 1),
+            lambda i: F.slice(words, i * max_tokens + 1, max_tokens),
+        )
+    )
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "_toks"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.col("_toks")).alias("chunk_text"),
+            F.size("_toks").cast("int").alias("n_tokens"),
+        )
+    )
+
+
+def dataset_split(docs: DataFrame, val_pct: int = 5, test_pct: int = 5) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket 0-99 from the first 8
+    hex digits of md5(doc_id) — stable across runs, machines, and engines
+    (md5 is the portable hash; the reshuffle-free split every data pipeline
+    needs so a doc never migrates between splits when the corpus grows).
+
+    test = buckets [0, test_pct), val = [test_pct, test_pct+val_pct),
+    train = the rest.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+    return docs.withColumn("split_bucket", bucket.cast("int")).withColumn(
+        "split",
+        F.when(F.col("split_bucket") < test_pct, "test")
+        .when(F.col("split_bucket") < test_pct + val_pct, "val")
+        .otherwise("train"),
+    )
+
+
 def doc_fingerprint(text_col: Column, k: int = 8) -> Column:
     """Deterministic document fingerprint: the minimum md5 over all k-char
     shingles of the whitespace-stripped text (min-wise sketch of size 1 — the

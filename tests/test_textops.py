@@ -159,6 +159,47 @@ def test_curate_corpus_gates_and_dedup(spark):
     assert kept[0].n_words >= 50 and kept[0].dup_bigram_frac_micros <= 150_000
 
 
+def test_chunk_documents_boundaries(spark):
+    d = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens, max 4 → 4+4+2
+            (2, "one two"),                              # single short chunk
+            (3, ""),                                     # no chunks at all
+        ],
+        "doc_id long, text string",
+    )
+    rows = textstats.chunk_documents(d, max_tokens=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.n_tokens for r in c1] == [4, 4, 2]
+    assert c1[0].chunk_text == "t0 t1 t2 t3" and c1[2].chunk_text == "t8 t9"
+    # tokens survive chunking in order, nothing dropped or duplicated
+    assert " ".join(r.chunk_text for r in c1) == d.collect()[0].text
+    assert by_doc[2][0].chunk_text == "one two"
+    assert 3 not in by_doc
+
+
+def test_dataset_split_is_stable_and_disjoint(spark):
+    d = spark.range(2000).select(F.col("id").alias("doc_id"))
+    s1 = {r.doc_id: r.split for r in textstats.dataset_split(d).collect()}
+    s2 = {r.doc_id: r.split for r in textstats.dataset_split(d.repartition(7)).collect()}
+    assert s1 == s2  # partitioning-independent assignment
+    from collections import Counter
+
+    c = Counter(s1.values())
+    assert set(c) == {"train", "val", "test"}
+    # md5 buckets ≈ uniform: 90/5/5 within generous tolerance
+    assert 0.85 <= c["train"] / 2000 <= 0.95
+    assert 0.02 <= c["val"] / 2000 <= 0.09
+    assert 0.02 <= c["test"] / 2000 <= 0.09
+    # growing the corpus never migrates an existing doc between splits
+    grown = {r.doc_id: r.split for r in textstats.dataset_split(
+        spark.range(4000).select(F.col("id").alias("doc_id"))).collect()}
+    assert all(grown[k] == v for k, v in s1.items())
+
+
 def test_top_ngrams_df_counts_docs_once(spark):
     # "a b c" twice within doc 1 → still df 1; across docs 1,2 → df 2
     d = spark.createDataFrame(
