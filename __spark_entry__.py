@@ -227,6 +227,44 @@ def _q_dataset_split(spark, sf):
     return d.select("doc_id", "split_bucket", "split")
 
 
+def _q_decontamination(spark, sf):
+    """Benchmark decontamination over the md5 dataset split: the 'train'
+    docs checked for 5-gram overlap against the 'test' docs."""
+    from repostcheckerbot_spark.operators import corpus
+
+    d = textstats.dataset_split(load(spark, sf, "documents"))
+    train = d.where(F.col("split") == "train")
+    bench = d.where(F.col("split") == "test")
+    return corpus.decontaminate(train, bench, n=5)
+
+
+def _q_pack_manifest(spark, sf):
+    """Concat-and-chop packing manifest: 4 shards, 32-token sequences (docs
+    are ~30-60 tokens, so straddling is exercised)."""
+    from repostcheckerbot_spark.operators import corpus
+
+    return corpus.pack_manifest(load(spark, sf, "documents"), capacity=32, n_shards=4)
+
+
+def _q_stratified_sample(spark, sf):
+    """Deterministic per-source hash sample at fixed literal rates (basis
+    points); sources outside the allowlist are dropped."""
+    from repostcheckerbot_spark.operators import corpus
+
+    rates = {"src0": 10000, "src1": 5000, "src2": 2500, "src3": 1250}
+    return corpus.stratified_sample(load(spark, sf, "documents"), rates).select(
+        "doc_id", "source", "sample_bucket"
+    )
+
+
+def _q_bm25_scores(spark, sf):
+    from repostcheckerbot_spark.operators import corpus
+
+    return corpus.bm25_scores(
+        load(spark, sf, "documents"), terms=["spark", "join", "window", "vector"]
+    )
+
+
 def _q_events_asof_join(spark, sf):
     from repostcheckerbot_spark.operators.timeseries import asof_join
 
@@ -631,6 +669,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _q_curation_pipeline,
         "doc_chunks": _q_doc_chunks,
         "dataset_split": _q_dataset_split,
+        "decontamination": _q_decontamination,
+        "pack_manifest": _q_pack_manifest,
+        "stratified_sample": _q_stratified_sample,
+        "bm25_scores": _q_bm25_scores,
         "events_asof_join": _q_events_asof_join,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "top_orders_by_revenue": _q_top_orders_by_revenue,
@@ -1161,6 +1203,106 @@ def oracle_sql() -> dict[str, str]:
                         WHEN split_bucket < 10 THEN 'val'
                         ELSE 'train' END AS split
             FROM b
+        """,
+        # benchmark decontamination: train('train' split) 5-grams vs the
+        # 'test' split's 5-gram set — identical split hash, ngram window,
+        # and millionths convention as corpus.decontaminate
+        "decontamination": """
+            WITH split AS (
+              SELECT doc_id, text,
+                     CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS INT) AS b
+              FROM documents
+            ),
+            train AS (SELECT doc_id, text FROM split WHERE b >= 10),
+            bench AS (SELECT doc_id, text FROM split WHERE b < 5),
+            wt AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM train),
+            ngt AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(w[CAST(i AS INT):(CAST(i AS INT) + 4)], ' ') AS ngram
+              FROM wt, unnest(range(1, len(w) - 3)) u(i) WHERE len(w) >= 5
+            ),
+            wb AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM bench),
+            ngb AS (
+              SELECT DISTINCT array_to_string(w[CAST(i AS INT):(CAST(i AS INT) + 4)], ' ') AS ngram
+              FROM wb, unnest(range(1, len(w) - 3)) u(i) WHERE len(w) >= 5
+            ),
+            agg AS (
+              SELECT t.doc_id, count(*) AS n_ngrams,
+                     sum(CASE WHEN b.ngram IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+              FROM ngt t LEFT JOIN ngb b USING (ngram) GROUP BY t.doc_id
+            )
+            SELECT tr.doc_id,
+                   CAST(coalesce(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+                   CAST(coalesce(a.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+                   CAST(CASE WHEN coalesce(a.n_ngrams, 0) > 0
+                        THEN floor(coalesce(a.n_contaminated, 0) / coalesce(a.n_ngrams, 0) * 1000000)
+                        ELSE 0 END AS BIGINT) AS contamination_micros,
+                   (coalesce(a.n_contaminated, 0) = 0) AS pass_decontamination
+            FROM train tr LEFT JOIN agg a USING (doc_id)
+        """,
+        # concat-and-chop packing: same md5 shard bucket, per-shard cumsum in
+        # doc_id order, sequences of 32 tokens — corpus.pack_manifest
+        "pack_manifest": """
+            WITH nt AS (
+              SELECT doc_id,
+                     CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 4 AS INT) AS shard_id,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ntok
+              FROM documents
+            ),
+            spans AS (
+              SELECT doc_id, shard_id, ntok,
+                     CAST(sum(ntok) OVER (PARTITION BY shard_id ORDER BY doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
+              FROM nt
+            ),
+            s2 AS (SELECT doc_id, shard_id, e - ntok AS s, e FROM spans WHERE ntok > 0)
+            SELECT doc_id, shard_id, CAST(q AS BIGINT) AS seq_id, CAST(s AS BIGINT) AS doc_start,
+                   CAST(least(e, (q + 1) * 32) - greatest(s, q * 32) AS BIGINT) AS tokens_in_seq
+            FROM s2, unnest(range(s // 32, (e - 1) // 32 + 1)) u(q)
+        """,
+        # deterministic stratified hash sample — salted md5 bucket < literal
+        # per-source rate (basis points); corpus.stratified_sample
+        "stratified_sample": """
+            WITH b AS (
+              SELECT doc_id, source,
+                     CAST(CAST('0x' || substr(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS INT) AS sample_bucket
+              FROM documents
+            )
+            SELECT doc_id, source, sample_bucket FROM b
+            WHERE (source = 'src0' AND sample_bucket < 10000)
+               OR (source = 'src1' AND sample_bucket < 5000)
+               OR (source = 'src2' AND sample_bucket < 2500)
+               OR (source = 'src3' AND sample_bucket < 1250)
+        """,
+        # Okapi BM25 against the literal term set, frozen operation order and
+        # micros floor — corpus.bm25_scores (k1=1.2, b=0.75)
+        "bm25_scores": """
+            WITH base AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS w,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS BIGINT) AS dl
+              FROM documents
+            ),
+            stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM base),
+            tf AS (
+              SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, dl, unnest(w) AS term FROM base)
+              WHERE term IN ('spark', 'join', 'window', 'vector')
+              GROUP BY doc_id, dl, term
+            ),
+            dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT t.doc_id,
+                     ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * (t.tf * (1.2 + 1))
+                       / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl)) AS contrib
+              FROM tf t JOIN dfq d USING (term), stats s
+            )
+            SELECT doc_id, CAST(count(*) AS INT) AS n_terms_matched,
+                   CAST(floor(sum(contrib) * 1000000) AS BIGINT) AS score_micros
+            FROM sc GROUP BY doc_id
         """,
         # the as-of join stated as the same tag-union + forward-fill the Spark
         # operator uses (operators/timeseries.asof_join) — at-or-before

@@ -34,6 +34,9 @@ ALLOWED_BNLJ = {
     "location_upgrade_render",
     "ngram_jaccard",
     "union_match_strategies",
+    # bm25_scores: cross join against the ONE-ROW (n_docs, avgdl) corpus
+    # aggregate — the standard broadcast-scalar shape.
+    "bm25_scores",
 }
 
 #: queries that EXECUTE jobs while building (full pipeline / iterative CC) —
