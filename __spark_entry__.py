@@ -149,6 +149,92 @@ def _q_levenshtein_pairs(spark, sf):
     )
 
 
+def _q_token_sort_pairs(spark, sf):
+    """Order-insensitive token_sort_ratio over the same bounded 50-doc
+    all-pairs parity surface as the other scorers."""
+    from repostcheckerbot_spark.operators.er import token_sort_ratio
+
+    d = load(spark, sf, "documents").where(F.col("doc_id") < 50).select("doc_id", "text")
+    a = d.select(F.col("doc_id").alias("doc_id_a"), F.col("text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("doc_id_b"), F.col("text").alias("tb"))
+    return (
+        a.join(b, F.col("doc_id_a") < F.col("doc_id_b"))
+        .withColumn(
+            "tsr_micros",
+            F.floor(token_sort_ratio(F.col("ta"), F.col("tb")) * 1_000_000).cast("long"),
+        )
+        .where(F.col("tsr_micros") >= 500_000)
+        .select("doc_id_a", "doc_id_b", "tsr_micros")
+    )
+
+
+#: Fellegi–Sunter demo parameters — shared verbatim with the oracle builder.
+_FS_MU = {"name": (0.95, 0.0005), "seg": (0.9, 0.2), "bal": (0.95, 0.01)}
+_FS_THRESHOLD_BITS = 5.0
+
+
+def _fs_records(spark, sf):
+    """Dirty two-variant record set derived deterministically from customer
+    (same augmentation convention as pii_redaction's specimens): variant B
+    uppercases the name, flips every third segment, shifts every second
+    balance by +0.5 — the classic dirty-duplicate shapes FS is built for."""
+    c = load(spark, sf, "customer")
+    a = c.select(
+        (F.col("c_custkey") * 2).alias("rec_id"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    b = c.select(
+        (F.col("c_custkey") * 2 + 1).alias("rec_id"),
+        F.col("c_nationkey").alias("nat"),
+        F.upper(F.col("c_name")).alias("name"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("AUTOMOBILE"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        (F.col("c_acctbal") + F.when(F.col("c_custkey") % 2 == 0, F.lit(0.5)).otherwise(F.lit(0.0))).alias("bal"),
+    )
+    return a.unionByName(b)
+
+
+def _q_fs_linkage(spark, sf):
+    """Fellegi–Sunter linkage over the dirty record set, blocked on nation;
+    emits matched pairs (score > 5 bits) with per-field agreement flags."""
+    from repostcheckerbot_spark.operators.er import fs_score_pairs
+
+    recs = _fs_records(spark, sf)
+    agreements = {
+        "name": F.lower(F.col("name_a")) == F.lower(F.col("name_b")),
+        "seg": F.col("seg_a") == F.col("seg_b"),
+        "bal": F.abs(F.col("bal_a") - F.col("bal_b")) < 1.0,
+    }
+    return fs_score_pairs(
+        recs, ["nat"], agreements, _FS_MU, threshold_bits=_FS_THRESHOLD_BITS
+    )
+
+
+def _q_golden_records(spark, sf):
+    """Survivorship over source-clusters of documents: canonical lang = mode
+    (tie → smallest), text = longest, doc_id = min, n_chars = max."""
+    from repostcheckerbot_spark.operators.er import golden_records
+
+    d = load(spark, sf, "documents").where(F.col("text").isNotNull())
+    return golden_records(
+        d,
+        "source",
+        {"doc_id": "min", "lang": "mode", "text": "longest", "n_chars": "max"},
+    )
+
+
+def _q_tfidf_cosine_pairs(spark, sf):
+    from repostcheckerbot_spark.operators.er import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        load(spark, sf, "documents"), n=2, min_cosine=0.6, max_df_frac=0.1
+    )
+
+
 def _q_token_stats(spark, sf):
     d = textstats.with_token_stats(load(spark, sf, "documents"))
     return d.select(
@@ -658,6 +744,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs_manku": _q_simhash_near_pairs_manku,
         "jaro_winkler_pairs": _q_jaro_winkler_pairs,
         "levenshtein_pairs": _q_levenshtein_pairs,
+        "token_sort_pairs": _q_token_sort_pairs,
+        "fs_linkage": _q_fs_linkage,
+        "golden_records": _q_golden_records,
+        "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality_scores,
         "lang_id_counts": _q_lang_id_counts,
@@ -780,6 +870,48 @@ allturns AS (
   SELECT * FROM turns_c UNION ALL SELECT * FROM turns_d UNION ALL SELECT * FROM turns_n
 )
 """
+
+
+def _fs_oracle() -> str:
+    """Fellegi–Sunter oracle: the dirty-record CTE (same augmentation as
+    _fs_records), per-field agreement CASEs, and the log2(m/u) weight
+    DOUBLES computed by the SAME fs_weights call the Spark side uses —
+    embedded via repr (shortest round-trip digits) and CAST AS DOUBLE so
+    DuckDB's decimal literal parsing cannot change the value. Terms sum in
+    sorted-field order (bal, name, seg), mirroring fs_score_pairs."""
+    from repostcheckerbot_spark.operators.er import fs_weights
+
+    w = fs_weights(_FS_MU)
+
+    def lit(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    t_bal = f"(CASE WHEN abs(a.bal - b.bal) < 1.0 THEN {lit(w['bal'][0])} ELSE {lit(w['bal'][1])} END)"
+    t_name = f"(CASE WHEN lower(a.name) = lower(b.name) THEN {lit(w['name'][0])} ELSE {lit(w['name'][1])} END)"
+    t_seg = f"(CASE WHEN a.seg = b.seg THEN {lit(w['seg'][0])} ELSE {lit(w['seg'][1])} END)"
+    thr = int(_FS_THRESHOLD_BITS * 1_000_000)
+    return f"""
+        WITH recs AS (
+          SELECT c_custkey * 2 AS rec_id, c_nationkey AS nat, c_name AS name,
+                 c_mktsegment AS seg, c_acctbal AS bal
+          FROM customer
+          UNION ALL
+          SELECT c_custkey * 2 + 1, c_nationkey, upper(c_name),
+                 CASE WHEN c_custkey % 3 = 0 THEN 'AUTOMOBILE' ELSE c_mktsegment END,
+                 c_acctbal + CASE WHEN c_custkey % 2 = 0 THEN 0.5 ELSE 0.0 END
+          FROM customer
+        ),
+        pairs AS (
+          SELECT a.nat, a.rec_id AS rec_id_a, b.rec_id AS rec_id_b,
+                 (abs(a.bal - b.bal) < 1.0) AS agree_bal,
+                 (lower(a.name) = lower(b.name)) AS agree_name,
+                 (a.seg = b.seg) AS agree_seg,
+                 CAST(floor((0.0 + {t_bal} + {t_name} + {t_seg}) * 1000000) AS BIGINT) AS fs_score_micros
+          FROM recs a JOIN recs b ON a.nat = b.nat AND a.rec_id < b.rec_id
+        )
+        SELECT nat, rec_id_a, rec_id_b, agree_bal, agree_name, agree_seg, fs_score_micros
+        FROM pairs WHERE fs_score_micros > {thr}
+    """
 
 
 def _duckdb_sketch_expr(planes: list[list[float]], vcol: str) -> str:
@@ -1536,6 +1668,86 @@ def oracle_sql() -> dict[str, str]:
               FROM d a JOIN d b ON a.doc_id < b.doc_id
             )
             SELECT doc_id_a, doc_id_b, lev, lev_ratio FROM pairs WHERE lev_ratio >= 0.3
+        """,
+        # token_sort_ratio: identical token canonicalization (binary sort
+        # order) and Levenshtein-ratio formula as er.token_sort_ratio
+        "token_sort_pairs": """
+            WITH d AS (
+              SELECT doc_id,
+                     array_to_string(list_sort(string_split_regex(lower(trim(text)), '\\s+')), ' ') AS k
+              FROM documents WHERE doc_id < 50
+            ),
+            pairs AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     CAST(floor(
+                       (CASE WHEN greatest(length(a.k), length(b.k)) = 0 THEN 1.0
+                             ELSE 1.0 - levenshtein(a.k, b.k)
+                                  / CAST(greatest(length(a.k), length(b.k)) AS DOUBLE) END)
+                       * 1000000) AS BIGINT) AS tsr_micros
+              FROM d a JOIN d b ON a.doc_id < b.doc_id
+            )
+            SELECT doc_id_a, doc_id_b, tsr_micros FROM pairs WHERE tsr_micros >= 500000
+        """,
+        # Fellegi–Sunter linkage: identical record augmentation, agreement
+        # predicates, and log2(m/u) weight literals (computed once in Python,
+        # embedded in both engines; CAST AS DOUBLE defeats DECIMAL parsing)
+        "fs_linkage": _fs_oracle(),
+        # survivorship: mode (count DESC, value ASC), longest (length DESC,
+        # value ASC), min/max — er.golden_records rule semantics
+        "golden_records": """
+            WITH n AS (SELECT * FROM documents WHERE text IS NOT NULL),
+            lc AS (SELECT source, lang, count(lang) AS c FROM n GROUP BY 1, 2),
+            lm AS (
+              SELECT source, lang FROM (
+                SELECT source, lang,
+                       row_number() OVER (PARTITION BY source ORDER BY c DESC, lang ASC) AS rn
+                FROM lc
+              ) WHERE rn = 1
+            ),
+            tx AS (
+              SELECT source, text FROM (
+                SELECT source, text,
+                       row_number() OVER (PARTITION BY source ORDER BY length(text) DESC, text ASC) AS rn
+                FROM n
+              ) WHERE rn = 1
+            ),
+            ag AS (SELECT source, min(doc_id) AS doc_id, max(n_chars) AS n_chars FROM n GROUP BY 1)
+            SELECT ag.source, ag.doc_id, lm.lang, ag.n_chars, tx.text
+            FROM ag JOIN lm USING (source) JOIN tx USING (source)
+        """,
+        # rare-bigram TF-IDF cosine — same DF cap, idf = ln(N/df), and
+        # millionths floor as er.tfidf_cosine_pairs
+        "tfidf_cosine_pairs": """
+            WITH w AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+            ),
+            g AS (
+              SELECT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS gram
+              FROM w, unnest(range(1, len(w))) u(i) WHERE len(w) >= 2
+            ),
+            tf AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS tf FROM g GROUP BY 1, 2),
+            nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+            dfq AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+            rare AS (
+              SELECT gram, df, n_docs FROM dfq, nd
+              WHERE df <= greatest(n_docs * 0.1, 5.0)
+            ),
+            wt AS (
+              SELECT tf.doc_id, tf.gram, tf.tf * ln(n_docs / df) AS w
+              FROM tf JOIN rare USING (gram)
+            ),
+            nr AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wt GROUP BY 1),
+            d2 AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, sum(a.w * b.w) AS dot
+              FROM wt a JOIN wt b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            cm AS (
+              SELECT doc_id_a, doc_id_b,
+                     CAST(floor(dot / (x.nrm * y.nrm) * 1000000) AS BIGINT) AS cosine_micros
+              FROM d2 JOIN nr x ON x.doc_id = doc_id_a JOIN nr y ON y.doc_id = doc_id_b
+            )
+            SELECT doc_id_a, doc_id_b, cosine_micros FROM cm WHERE cosine_micros >= 600000
         """,
         "cosine_topk_lsh": _cosine_lsh_oracle(),
         "cosine_topk_lsh_multi": _cosine_lsh_multi_oracle(),

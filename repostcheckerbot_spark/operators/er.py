@@ -1,0 +1,234 @@
+"""Entity-resolution scoring and consolidation beyond the reference's
+single-text-field model: weighted multi-field record matching, canonical
+record survivorship, order-insensitive token scoring, and TF-IDF cosine
+blocking/scoring.
+
+The reference resolves entities on ONE text field (content similarity,
+/root/reference/database.py:389-405). Real entity resolution is multi-field
+(names, categories, amounts); the public-standard machinery is:
+
+- ``fs_score_pairs``     — Fellegi–Sunter record linkage (Fellegi & Sunter,
+                           JASA 1969 — public model): per-field agreement
+                           log₂(m/u) weights summed into a match score.
+- ``golden_records``     — survivorship: collapse each cluster to one
+                           canonical record under per-field rules
+                           (most-frequent / longest / min / max), with
+                           deterministic tie-breaks.
+- ``token_sort_ratio``   — order-insensitive Levenshtein ratio (the
+                           fuzzywuzzy ``token_sort_ratio`` construction —
+                           public convention): sort tokens, then ratio.
+- ``tfidf_cosine_pairs`` — TF-IDF-weighted cosine over word n-grams with a
+                           document-frequency cap — the classic sparse-vector
+                           ER blocking+scoring channel (canopy-style).
+
+Scale notes (100 TB):
+
+- fs_score_pairs joins ONLY within blocks (equi-join on the caller's block
+  key) — the caller bounds block sizes exactly like the LSH band cap
+  (blocking.py); compose with LSH bands for free-text fields.
+- golden_records is one groupBy(cluster) plus one count-window per
+  mode-field (each shuffles on (cluster, value) — near-uniform keys).
+- tfidf_cosine_pairs inherits the hot-token DF cap from the n-gram Jaccard
+  channel (dedup_docs.py): tokens with df > max(df_frac·N, floor) never
+  enter the pair join, so no single token contributes a quadratic bucket;
+  the exclusions are enumerable, mirroring ``hot_shingles``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: tokens rarer than this absolute floor always survive the DF cap.
+TFIDF_DF_FLOOR = 5
+
+
+# ------------------------------------------------------------ Fellegi–Sunter
+def fs_weights(mu: dict[str, tuple[float, float]]) -> dict[str, tuple[float, float]]:
+    """Per-field (agreement, disagreement) log₂ weights from (m, u)
+    probabilities: (log₂(m/u), log₂((1−m)/(1−u))). Computed once in Python
+    so Spark and the DuckDB oracle embed the IDENTICAL double literals."""
+    return {
+        f: (math.log2(m / u), math.log2((1.0 - m) / (1.0 - u)))
+        for f, (m, u) in mu.items()
+    }
+
+
+def fs_score_pairs(
+    records: DataFrame,
+    block_cols: list[str],
+    agreements: dict[str, "F.Column"],
+    mu: dict[str, tuple[float, float]],
+    id_col: str = "rec_id",
+    threshold_bits: float | None = None,
+) -> DataFrame:
+    """Fellegi–Sunter linkage over all record pairs within each block.
+
+    ``records`` is self-joined on ``block_cols`` (id_a < id_b); every other
+    column appears twice, suffixed ``_a``/``_b``. ``agreements`` maps field
+    name → boolean Column over those suffixed columns; ``mu`` maps the same
+    names → (m, u) conditional agreement probabilities. The match score is
+
+        Σ_f  agree_f ? log₂(m_f/u_f) : log₂((1−m_f)/(1−u_f))
+
+    returned as ``fs_score_micros`` (floor ×1e6; engine-portable), summed in
+    sorted-field-name order (frozen, oracle-mirrored). With
+    ``threshold_bits``, adds ``is_match = score > threshold`` and FILTERS to
+    matches (the linkage output); without it, returns all scored pairs.
+
+    The block key bounds the pair space — the caller owns block sizing
+    (compose with LSH bands for text fields; see module docstring).
+    """
+    weights = fs_weights(mu)
+    others = [c for c in records.columns if c not in block_cols]
+    a = records.select(*block_cols, *[F.col(c).alias(f"{c}_a") for c in others])
+    b = records.select(*block_cols, *[F.col(c).alias(f"{c}_b") for c in others])
+    pairs = a.join(b, block_cols).where(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+
+    score = F.lit(0.0)
+    flags = []
+    for f in sorted(agreements):
+        wa, wd = weights[f]
+        agree = agreements[f]
+        flags.append(agree.alias(f"agree_{f}"))
+        score = score + F.when(agree, F.lit(wa)).otherwise(F.lit(wd))
+    out = pairs.select(
+        *block_cols,
+        f"{id_col}_a",
+        f"{id_col}_b",
+        *flags,
+        F.floor(score * 1_000_000).cast("long").alias("fs_score_micros"),
+    )
+    if threshold_bits is not None:
+        out = out.where(F.col("fs_score_micros") > int(threshold_bits * 1_000_000))
+    return out
+
+
+# -------------------------------------------------------------- survivorship
+def golden_records(
+    df: DataFrame,
+    cluster_col: str,
+    rules: dict[str, str],
+    ) -> DataFrame:
+    """Survivorship: one canonical row per cluster under per-field rules.
+
+    Rules (all ties broken deterministically):
+      - ``"mode"``    — most frequent value; tie → lexicographically smallest
+      - ``"longest"`` — longest value; tie → lexicographically smallest
+      - ``"min"`` / ``"max"`` — plain extremes
+
+    Null field values are ignored by min/max (Spark agg semantics) and sort
+    last for mode/longest (they never beat a present value unless the whole
+    cluster is null). One groupBy(cluster) total; each mode-field adds one
+    count window on (cluster, value) — near-uniform keys, safe at scale.
+    """
+    aggs = []
+    work = df
+    for col, rule in sorted(rules.items()):
+        if rule == "min":
+            aggs.append(F.min(col).alias(col))
+        elif rule == "max":
+            aggs.append(F.max(col).alias(col))
+        elif rule == "longest":
+            aggs.append(
+                F.min_by(col, F.struct((-F.coalesce(F.length(col), F.lit(-1))).alias("nl"), F.col(col))).alias(col)
+            )
+        elif rule == "mode":
+            cnt = f"_cnt_{col}"
+            work = work.withColumn(
+                cnt,
+                F.count(col).over(Window.partitionBy(cluster_col, col)),
+            )
+            aggs.append(
+                F.min_by(col, F.struct((-F.col(cnt)).alias("nc"), F.col(col))).alias(col)
+            )
+        else:
+            raise ValueError(f"unknown survivorship rule {rule!r} for {col!r}")
+    return work.groupBy(cluster_col).agg(*aggs)
+
+
+# --------------------------------------------------------- token-sort scoring
+def token_sort_key(col) -> "F.Column":
+    """Canonical token order: lowercase, whitespace-tokenize, sort, re-join.
+    Binary (codepoint) sort order — identical in Spark and DuckDB."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat_ws(" ", F.array_sort(F.split(F.lower(F.trim(c)), r"\s+")))
+
+
+def token_sort_ratio(a, b) -> "F.Column":
+    """fuzzywuzzy-style token_sort_ratio on the Levenshtein-ratio scale:
+    1 − lev/max(len) over token-sorted strings — order-insensitive, so
+    permuted near-duplicates score ~1.0 where plain edit distance fails.
+    Fully JVM-native (codegen); no Python."""
+    from repostcheckerbot_spark.operators.scoring import levenshtein_ratio
+
+    return levenshtein_ratio(token_sort_key(a), token_sort_key(b))
+
+
+# ------------------------------------------------------------- TF-IDF cosine
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    n: int = 2,
+    min_cosine: float = 0.6,
+    max_df_frac: float = 0.1,
+    text_col: str = "text",
+) -> DataFrame:
+    """TF-IDF cosine similarity pairs over word ``n``-grams, joined only
+    through RARE grams (df ≤ max(df_frac·N, TFIDF_DF_FLOOR) — hot grams are
+    excluded from the pair join AND from the vectors, so the statistic is
+    rare-gram cosine, stated identically by the oracle).
+
+    Returns (doc_id_a, doc_id_b, cosine_micros) with cosine ≥ ``min_cosine``.
+
+    idf = ln(N/df); weight = tf·idf; cosine = dot/(‖a‖·‖b‖), floored to
+    millionths. Shape: per-doc gram tf (one groupBy), df (one groupBy),
+    pair join on gram (bounded per-gram by the DF cap), pair-sum groupBy.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = (
+        docs.select("doc_id", words.alias("_w"))
+        .where(F.size("_w") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_w") - n),
+                    lambda i: F.slice(F.col("_w"), i + 1, n),
+                )
+            ).alias("_t"),
+        )
+        .select("doc_id", F.concat_ws(" ", F.col("_t")).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    rare = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") <= F.greatest(F.col("n_docs") * max_df_frac, F.lit(float(TFIDF_DF_FLOOR))))
+    )
+    w = (
+        grams.join(F.broadcast(rare), "gram")
+        .withColumn("w", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+        .select("doc_id", "gram", "w")
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    wa = w.select(F.col("doc_id").alias("doc_id_a"), "gram", F.col("w").alias("wa"))
+    wb = w.select(F.col("doc_id").alias("doc_id_b"), "gram", F.col("w").alias("wb"))
+    dots = (
+        wa.join(wb, "gram")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_id_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_id_a")
+        .join(nb, "doc_id_b")
+        .withColumn("cosine_micros", F.floor(F.col("dot") / (F.col("na") * F.col("nb")) * 1_000_000).cast("long"))
+        .where(F.col("cosine_micros") >= int(min_cosine * 1_000_000))
+        .select("doc_id_a", "doc_id_b", "cosine_micros")
+    )

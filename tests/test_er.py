@@ -1,0 +1,167 @@
+"""Unit tests for entity-resolution operators: Fellegi–Sunter linkage,
+survivorship, token-sort ratio, TF-IDF cosine."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from repostcheckerbot_spark.operators.er import (
+    fs_score_pairs,
+    fs_weights,
+    golden_records,
+    tfidf_cosine_pairs,
+    token_sort_key,
+    token_sort_ratio,
+)
+
+
+# ------------------------------------------------------------ Fellegi–Sunter
+def test_fs_weights_known_values():
+    w = fs_weights({"f": (0.9, 0.1)})
+    assert abs(w["f"][0] - math.log2(9.0)) < 1e-12
+    assert abs(w["f"][1] - math.log2(0.1 / 0.9)) < 1e-12
+
+
+def test_fs_score_pairs_known_answer(spark):
+    """Two records agreeing on both fields score w_a(name)+w_a(city); a
+    disagreeing pair gets the disagreement weights; cross-block pairs never
+    meet."""
+    recs = spark.createDataFrame(
+        [
+            (1, 10, "ann smith", "berlin"),
+            (2, 10, "ann smith", "berlin"),   # full agreement with 1
+            (3, 10, "bob jones", "munich"),   # full disagreement with 1,2
+            (4, 99, "ann smith", "berlin"),   # other block — never paired
+        ],
+        "rec_id long, blk int, name string, city string",
+    )
+    mu = {"name": (0.9, 0.01), "city": (0.8, 0.1)}
+    w = fs_weights(mu)
+    out = fs_score_pairs(
+        recs,
+        ["blk"],
+        {
+            "name": F.col("name_a") == F.col("name_b"),
+            "city": F.col("city_a") == F.col("city_b"),
+        },
+        mu,
+    )
+    rows = {(r["rec_id_a"], r["rec_id_b"]): r for r in out.collect()}
+    assert set(rows) == {(1, 2), (1, 3), (2, 3)}
+    exp_match = math.floor((0.0 + w["city"][0] + w["name"][0]) * 1_000_000)
+    exp_nomatch = math.floor((0.0 + w["city"][1] + w["name"][1]) * 1_000_000)
+    assert rows[(1, 2)]["fs_score_micros"] == exp_match
+    assert rows[(1, 2)]["agree_name"] and rows[(1, 2)]["agree_city"]
+    assert rows[(1, 3)]["fs_score_micros"] == exp_nomatch
+    assert not rows[(1, 3)]["agree_name"]
+
+    # threshold filters to matches only
+    matched = fs_score_pairs(
+        recs,
+        ["blk"],
+        {
+            "name": F.col("name_a") == F.col("name_b"),
+            "city": F.col("city_a") == F.col("city_b"),
+        },
+        mu,
+        threshold_bits=1.0,
+    ).collect()
+    assert {(r["rec_id_a"], r["rec_id_b"]) for r in matched} == {(1, 2)}
+
+
+# -------------------------------------------------------------- survivorship
+def test_golden_records_rules_and_ties(spark):
+    df = spark.createDataFrame(
+        [
+            # cluster A: mode(src) = x (2 vs 1); longest text = 'cccc';
+            # doc_id min = 1; n max = 9
+            (1, "A", "x", "aa", 3),
+            (2, "A", "x", "cccc", 9),
+            (3, "A", "y", "bb", 1),
+            # cluster B: mode tie x vs y (1 each) → lexicographically smallest 'x';
+            # longest tie 'dd' vs 'aa' (len 2) → smallest 'aa'
+            (7, "B", "y", "dd", 5),
+            (8, "B", "x", "aa", 4),
+        ],
+        "doc_id long, cl string, src string, txt string, n int",
+    )
+    out = {
+        r["cl"]: r
+        for r in golden_records(
+            df, "cl", {"doc_id": "min", "src": "mode", "txt": "longest", "n": "max"}
+        ).collect()
+    }
+    assert out["A"]["doc_id"] == 1 and out["A"]["src"] == "x"
+    assert out["A"]["txt"] == "cccc" and out["A"]["n"] == 9
+    assert out["B"]["src"] == "x"      # tie → lexicographically smallest
+    assert out["B"]["txt"] == "aa"     # equal length tie → smallest
+    assert out["B"]["doc_id"] == 7 and out["B"]["n"] == 5
+
+
+def test_golden_records_unknown_rule(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "A")], "doc_id long, cl string")
+    with pytest.raises(ValueError):
+        golden_records(df, "cl", {"doc_id": "median"})
+
+
+# --------------------------------------------------------------- token sort
+def test_token_sort_ratio_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox", "fox brown QUICK the", "quick brown dog")],
+        "a string, b string, c string",
+    )
+    row = df.select(
+        token_sort_key("a").alias("ka"),
+        token_sort_ratio("a", "b").alias("perm"),
+        token_sort_ratio("a", "c").alias("diff"),
+    ).collect()[0]
+    assert row["ka"] == "brown fox quick the"
+    assert row["perm"] == 1.0          # permutation + case → identical keys
+    assert 0.0 < row["diff"] < 1.0
+
+
+# -------------------------------------------------------------- tfidf cosine
+def test_tfidf_cosine_known_answer(spark):
+    """Near-identical docs (one word changed) share most rare bigrams → high
+    cosine; an unrelated doc pairs with nobody; a hot bigram present in ALL
+    docs is excluded by the DF cap and cannot create pairs on its own."""
+    shared = "zz yy "  # bigram 'zz yy' appears in every doc → capped out
+    docs = spark.createDataFrame(
+        [
+            (1, shared + "alpha beta gamma delta epsilon"),
+            (2, shared + "alpha beta gamma delta zeta"),
+            (3, shared + "one two three four five"),
+        ],
+        "doc_id long, text string",
+    )
+    # max_df_frac such that df=3 ('zz yy') is excluded but df<=2 survives:
+    # greatest(3*0.67, 0) ≈ 2.01 → need floor 0 → use df floor via frac only
+    out = tfidf_cosine_pairs(docs, n=2, min_cosine=0.1, max_df_frac=0.9)
+    # with TFIDF_DF_FLOOR=5 every bigram survives on a 3-doc corpus; idf of
+    # the universal bigram is ln(1)=0, so it contributes nothing — only the
+    # genuinely shared rare bigrams can pair docs.
+    rows = {(r["doc_id_a"], r["doc_id_b"]): r["cosine_micros"] for r in out.collect()}
+    assert (1, 2) in rows
+    # hand-check: 4 shared bigrams at idf ln(3/2), 1 unique each at ln(3),
+    # universal 'zz yy' at idf 0 → cos = 4·ln(1.5)²/(4·ln(1.5)²+ln(3)²)
+    s, u = math.log(1.5), math.log(3.0)
+    exp = math.floor(4 * s * s / (4 * s * s + u * u) * 1_000_000)
+    assert abs(rows[(1, 2)] - exp) <= 2  # float-sum-order slack on the floor
+    assert (1, 3) not in rows and (2, 3) not in rows
+
+
+def test_tfidf_cosine_self_similarity_bound(spark):
+    """cosine ≤ 1 (micros ≤ 1e6) and symmetric construction emits a<b only."""
+    docs = spark.createDataFrame(
+        [(i, "w%d x%d common token stream here" % (i % 2, i % 3)) for i in range(8)],
+        "doc_id long, text string",
+    )
+    rows = tfidf_cosine_pairs(docs, n=2, min_cosine=0.0, max_df_frac=1.0).collect()
+    assert rows, "expected at least one pair"
+    for r in rows:
+        assert r["doc_id_a"] < r["doc_id_b"]
+        assert r["cosine_micros"] <= 1_000_000

@@ -37,6 +37,12 @@ ALLOWED_BNLJ = {
     # bm25_scores: cross join against the ONE-ROW (n_docs, avgdl) corpus
     # aggregate — the standard broadcast-scalar shape.
     "bm25_scores",
+    # token_sort_pairs: bounded 50-doc scorer-parity surface (like
+    # jaro_winkler_pairs / levenshtein_pairs).
+    "token_sort_pairs",
+    # tfidf_cosine_pairs: cross join against the ONE-ROW corpus-count
+    # aggregate (the DF-cap threshold, same as ngram_jaccard).
+    "tfidf_cosine_pairs",
 }
 
 #: queries that EXECUTE jobs while building (full pipeline / iterative CC) —
