@@ -376,6 +376,56 @@ def _q_events_asof_join(spark, sf):
     )
 
 
+def _q_events_sessionize(spark, sf):
+    """Gap-based sessionization of the events stream (30-min inactivity
+    gap, per user) — batch twin of the stateful streaming sessionizer."""
+    from repostcheckerbot_spark.operators.timeseries import sessionize
+
+    e = load(spark, sf, "events")
+    return sessionize(e, keys=["user_id"], gap_seconds=1800, order_col="event_id").select(
+        "event_id", "user_id", "session_idx"
+    )
+
+
+def _q_events_rollup(spark, sf):
+    """ROLLUP aggregate over (event_type, day): per-cell, per-type, and
+    grand-total rows with the standard grouping_id — the OLAP subtotal
+    surface. Sums floored to whole units (engine-portable)."""
+    e = load(spark, sf, "events").withColumn(
+        "day", F.to_date(F.col("ts").cast("timestamp"))
+    )
+    return (
+        e.rollup("event_type", "day")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.floor(F.sum("value")).cast("long").alias("value_floor"),
+        )
+        # subtotal rows carry an explicit 'ALL' sentinel instead of NULL so
+        # the comparison harness never sees engine-specific null encodings
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias("day"),
+            "gid",
+            "n_events",
+            "value_floor",
+        )
+    )
+
+
+def _q_events_pivot(spark, sf):
+    """Pivot: per-day event counts, one column per event type (explicit
+    literal type list — the deterministic pivot contract)."""
+    e = load(spark, sf, "events").withColumn(
+        "day", F.to_date(F.col("ts").cast("timestamp"))
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = e.groupBy("day").pivot("event_type", types).agg(F.count(F.lit(1)))
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types]
+    )
+
+
 def _q_repetition_stats(spark, sf):
     r = textstats.repetition_stats(load(spark, sf, "documents"))
     return r.select("doc_id", "n_bigrams", "dup_bigram_frac_micros", "pass_repetition")
@@ -764,6 +814,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "bm25_scores": _q_bm25_scores,
         "events_asof_join": _q_events_asof_join,
+        "events_sessionize": _q_events_sessionize,
+        "events_rollup": _q_events_rollup,
+        "events_pivot": _q_events_pivot,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "top_orders_by_revenue": _q_top_orders_by_revenue,
         "customer_with_orders": _q_customer_with_orders,
@@ -1435,6 +1488,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS INT) AS n_terms_matched,
                    CAST(floor(sum(contrib) * 1000000) AS BIGINT) AS score_micros
             FROM sc GROUP BY doc_id
+        """,
+        # gap-based sessionization: same (ts, event_id) ordering, strict
+        # 1800-s gap on TRUNCATED epoch seconds (both engines floor to whole
+        # seconds — timeseries.sessionize)
+        "events_sessionize": """
+            WITH o AS (
+              SELECT event_id, user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            ),
+            f AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN prev IS NULL
+                               OR CAST(floor(epoch(ts)) AS BIGINT)
+                                  - CAST(floor(epoch(prev)) AS BIGINT) > 1800
+                          THEN 1 ELSE 0 END AS brk
+              FROM o
+            )
+            SELECT event_id, user_id,
+                   CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_idx
+            FROM f
+        """,
+        # ROLLUP with the standard GROUPING id; sums floored to whole units
+        "events_rollup": """
+            WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(CAST(day AS VARCHAR), 'ALL') AS day,
+                   CAST(GROUPING(event_type, day) AS INT) AS gid,
+                   count(*) AS n_events,
+                   CAST(floor(sum(value)) AS BIGINT) AS value_floor
+            FROM d GROUP BY ROLLUP(event_type, day)
+        """,
+        # pivot = per-day conditional counts over the literal type list
+        "events_pivot": """
+            WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events)
+            SELECT day,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+            FROM d GROUP BY day
         """,
         # the as-of join stated as the same tag-union + forward-fill the Spark
         # operator uses (operators/timeseries.asof_join) — at-or-before

@@ -88,6 +88,13 @@ def main() -> None:
         cands, _ = generate_candidates(docs, PipelineConfig())
         return cands.count()
 
+    def tfidf_canopy():
+        from repostcheckerbot_spark.operators.er import tfidf_cosine_pairs
+        from repostcheckerbot_spark.sources.testdata import load
+
+        d = load(spark, SF_DIR, "documents")
+        return tfidf_cosine_pairs(d, n=2, min_cosine=0.6, max_df_frac=0.02).count()
+
     suite: list[tuple[str, object]] = [
         ("flagship_pipeline", flagship),
         ("incremental_microbatch", incremental_microbatch),
@@ -102,6 +109,14 @@ def main() -> None:
         ("q1_pricing_summary", lambda: q["q1_pricing_summary"](spark, SF_DIR).count()),
         ("token_stats", lambda: q["token_stats"](spark, SF_DIR).count()),
         ("events_ts_buckets", lambda: q["events_ts_buckets"](spark, SF_DIR).count()),
+        # round-3 additions: multi-field ER linkage (18M scored pairs at
+        # sf0.1), the curation passes, and the rare-gram TF-IDF canopy at its
+        # scale-realistic DF cap (the oracled query uses the looser demo cap)
+        ("fs_linkage", lambda: q["fs_linkage"](spark, SF_DIR).count()),
+        ("tfidf_canopy", lambda: tfidf_canopy()),
+        ("decontamination", lambda: q["decontamination"](spark, SF_DIR).count()),
+        ("bm25_scores", lambda: q["bm25_scores"](spark, SF_DIR).count()),
+        ("pack_manifest", lambda: q["pack_manifest"](spark, SF_DIR).count()),
     ]
 
     # warmup: JIT the codegen/shuffle paths + spin up the Python UDF workers

@@ -202,6 +202,10 @@ def tfidf_cosine_pairs(
         .select("doc_id", F.concat_ws(" ", F.col("_t")).alias("gram"))
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        # three consumers follow (df aggregate, then the probe side of the
+        # rare join) — materialize the tokenize+explode+tf subtree ONCE
+        # instead of recomputing the whole corpus scan per branch
+        .localCheckpoint(eager=False)
     )
     n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("df"))
@@ -213,6 +217,8 @@ def tfidf_cosine_pairs(
         grams.join(F.broadcast(rare), "gram")
         .withColumn("w", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
         .select("doc_id", "gram", "w")
+        # consumed by norms + BOTH sides of the pair self-join
+        .localCheckpoint(eager=False)
     )
     norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     wa = w.select(F.col("doc_id").alias("doc_id_a"), "gram", F.col("w").alias("wa"))

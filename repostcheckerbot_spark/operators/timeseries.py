@@ -1,4 +1,5 @@
-"""As-of join: the time-series operator Spark lacks natively.
+"""Time-series operators Spark lacks natively: as-of join and gap-based
+batch sessionization.
 
 ``asof_join(left, right, …)`` attaches to every left row the payload of the
 LATEST right row with ``right.ts <= left.ts`` inside the same key group —
@@ -80,3 +81,35 @@ def asof_join(
         *[F.last(a, ignorenulls=True).over(w).alias(a) for a in aliases.values()],
     )
     return filled.where(F.col("_side") == 1).drop("_side")
+
+
+def sessionize(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Gap-based batch sessionization: assign each event a per-key
+    ``session_idx`` (1-based) that increments whenever the gap to the
+    previous event STRICTLY exceeds ``gap_seconds`` — the batch twin of the
+    stateful streaming sessionizer (streaming.sessionize_conversations),
+    sharing its quiescence rule.
+
+    ONE window pass (lag + running sum over the same (keys, ts, order)
+    ordering — one shuffle, one sort; Spark plans both functions in a single
+    Window node). ``order_col`` breaks exact-timestamp ties deterministically.
+    Timestamps are compared in epoch seconds after an explicit cast (parquet
+    TIMESTAMP_NTZ-safe).
+    """
+    order_cols = [order_col] if order_col else []
+    w = Window.partitionBy(*keys).orderBy(ts_col, *order_cols)
+    epoch = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(epoch).over(w)
+    brk = F.when(prev.isNull() | (epoch - prev > gap_seconds), 1).otherwise(0)
+    run = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col, *order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.withColumn("session_idx", F.sum(brk).over(run).cast("int"))

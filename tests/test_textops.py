@@ -216,3 +216,40 @@ def test_top_ngrams_df_counts_docs_once(spark):
     assert all(r.df >= 1 for r in rows) and len(rows) == 3
     # ties broken lexicographically
     assert [r.rnk for r in rows] == [1, 2, 3]
+
+
+def test_sessionize_known_answer(spark):
+    """30-min gap sessionization: breaks strictly-greater gaps, per key,
+    ties broken by order_col; session_idx is 1-based and contiguous."""
+    from datetime import datetime as dt
+
+    from repostcheckerbot_spark.operators.timeseries import sessionize
+
+    rows = [
+        # user 1: events at 0s, 100s, exactly gap later (no break), gap+1 (break)
+        (1, 1, dt(2024, 1, 1, 0, 0, 0)),
+        (2, 1, dt(2024, 1, 1, 0, 1, 40)),
+        (3, 1, dt(2024, 1, 1, 0, 31, 40)),   # 1800s after #2 → same session
+        (4, 1, dt(2024, 1, 1, 1, 1, 41)),    # 1801s after #3 → new session
+        # user 2: single event
+        (9, 2, dt(2024, 1, 1, 5, 0, 0)),
+    ]
+    e = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(e, keys=["user_id"], gap_seconds=1800, order_col="event_id").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 2, 9: 1}
+
+
+def test_sessionize_single_window_plan(spark):
+    """lag + running-sum share one shuffle: exactly ONE Exchange in the plan."""
+    from repostcheckerbot_spark.operators.timeseries import sessionize
+    from repostcheckerbot_spark.sources.testdata import load
+
+    e = load(spark, "/root/testdata/sf0.001", "events")
+    plan = (
+        sessionize(e, keys=["user_id"], order_col="event_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
