@@ -93,6 +93,15 @@ def _q_ngram_jaccard(spark, sf):
     )
 
 
+def _q_prefix_jaccard(spark, sf):
+    """PPJoin-style prefix-filtered EXACT Jaccard join — the oracle states
+    the naive exact statistic with no prefix optimization; recall 1.0 means
+    the optimized plan must reproduce it bit-for-bit."""
+    return dedup_docs.prefix_jaccard_pairs(
+        load(spark, sf, "documents"), k=5, min_jaccard_micros=300_000
+    )
+
+
 def _q_simhash(spark, sf):
     return dedup_docs.simhash64(load(spark, sf, "documents"))
 
@@ -232,6 +241,22 @@ def _q_tfidf_cosine_pairs(spark, sf):
 
     return tfidf_cosine_pairs(
         load(spark, sf, "documents"), n=2, min_cosine=0.6, max_df_frac=0.1
+    )
+
+
+def _q_phonetic_keys(spark, sf):
+    """Soundex phonetic blocking keys over the corpus vocabulary: bucket
+    counts + deterministic representative per key."""
+    from repostcheckerbot_spark.operators.er import phonetic_key
+
+    words = (
+        load(spark, sf, "documents")
+        .select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
+        .where(F.col("word").rlike("[A-Za-z]"))
+        .distinct()
+    )
+    return words.select(phonetic_key(F.col("word")).alias("skey"), "word").groupBy("skey").agg(
+        F.count(F.lit(1)).alias("n_words"), F.min("word").alias("first_word")
     )
 
 
@@ -423,6 +448,23 @@ def _q_events_pivot(spark, sf):
     out = e.groupBy("day").pivot("event_type", types).agg(F.count(F.lit(1)))
     return out.select(
         "day", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types]
+    )
+
+
+def _q_events_moving_avg(spark, sf):
+    """7-day trailing moving average of daily event counts. The global
+    ORDER BY window runs over the AGGREGATED daily frame — cardinality =
+    #days, bounded regardless of corpus size, so the single-partition
+    window is safe by construction."""
+    e = load(spark, sf, "events").withColumn(
+        "day", F.to_date(F.col("ts").cast("timestamp"))
+    )
+    daily = e.groupBy("day").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        "n_events",
+        F.floor(F.avg("n_events").over(w) * 1_000_000).cast("long").alias("ma7_micros"),
     )
 
 
@@ -789,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "lsh_candidates": _q_lsh_candidates,
         "ngram_jaccard": _q_ngram_jaccard,
+        "prefix_jaccard": _q_prefix_jaccard,
         "simhash": _q_simhash,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "simhash_near_pairs_manku": _q_simhash_near_pairs_manku,
@@ -798,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_linkage": _q_fs_linkage,
         "golden_records": _q_golden_records,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
+        "phonetic_keys": _q_phonetic_keys,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality_scores,
         "lang_id_counts": _q_lang_id_counts,
@@ -817,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_rollup": _q_events_rollup,
         "events_pivot": _q_events_pivot,
+        "events_moving_avg": _q_events_moving_avg,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "top_orders_by_revenue": _q_top_orders_by_revenue,
         "customer_with_orders": _q_customer_with_orders,
@@ -1521,6 +1566,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(sum(value)) AS BIGINT) AS value_floor
             FROM d GROUP BY ROLLUP(event_type, day)
         """,
+        # 7-day trailing moving average over the daily aggregate
+        "events_moving_avg": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+              FROM events GROUP BY 1
+            )
+            SELECT CAST(day AS VARCHAR) AS day, n_events,
+                   CAST(floor(avg(n_events) OVER (ORDER BY day
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 1000000) AS BIGINT) AS ma7_micros
+            FROM daily
+        """,
         # pivot = per-day conditional counts over the literal type list
         "events_pivot": """
             WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events)
@@ -1765,6 +1821,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id_a, doc_id_b, lev, lev_ratio FROM pairs WHERE lev_ratio >= 0.3
         """,
+        # prefix-filtered exact Jaccard: the oracle is the NAIVE exact
+        # statistic (full inverted-index join, no prefix filter) — recall 1.0
+        # of the optimized plan is what the hash match proves. All-integer
+        # accept test (n_inter·1e6 ≥ t_micros·union).
+        "prefix_jaccard": f"""
+            WITH {_SHINGLE5},
+            dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+            sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dsh GROUP BY 1),
+            it AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(count(*) AS BIGINT) AS i
+              FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_id_a, doc_id_b,
+                   CAST(floor(i * 1000000 / (x.n + y.n - i)) AS BIGINT) AS jaccard_micros
+            FROM it JOIN sz x ON x.doc_id = doc_id_a JOIN sz y ON y.doc_id = doc_id_b
+            WHERE i * 1000000 >= 300000 * (x.n + y.n - i)
+        """,
         # token_sort_ratio: identical token canonicalization (binary sort
         # order) and Levenshtein-ratio formula as er.token_sort_ratio
         "token_sort_pairs": """
@@ -1810,6 +1884,35 @@ def oracle_sql() -> dict[str, str]:
             ag AS (SELECT source, min(doc_id) AS doc_id, max(n_chars) AS n_chars FROM n GROUP BY 1)
             SELECT ag.source, ag.doc_id, lm.lang, ag.n_chars, tx.text
             FROM ag JOIN lm USING (source) JOIN tx USING (source)
+        """,
+        # Soundex keys: the IDENTICAL translate/regexp chain (H/W deleted by
+        # the translate length trick, runs collapsed per code, positional
+        # first-code drop) — er.phonetic_key
+        "phonetic_keys": """
+            WITH w AS (
+              SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+              FROM documents
+            ),
+            lw AS (SELECT word FROM w WHERE regexp_matches(word, '[A-Za-z]')),
+            u AS (SELECT word, upper(regexp_replace(word, '[^A-Za-z]', '', 'g')) AS uu FROM lw),
+            d0 AS (
+              SELECT word, substr(uu, 1, 1) AS first,
+                     translate(uu, 'ABCDEFGIJKLMNOPQRSTUVXYZHW', '012301202245501262301202') AS d
+              FROM u
+            ),
+            d1 AS (
+              SELECT word, first,
+                     regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       d, '1{2,}', '1', 'g'), '2{2,}', '2', 'g'), '3{2,}', '3', 'g'),
+                       '4{2,}', '4', 'g'), '5{2,}', '5', 'g'), '6{2,}', '6', 'g') AS d
+              FROM d0
+            ),
+            k AS (
+              SELECT word,
+                     first || rpad(substr(regexp_replace(substr(d, 2, 1000000), '0', '', 'g'), 1, 3), 3, '0') AS skey
+              FROM d1
+            )
+            SELECT skey, count(*) AS n_words, min(word) AS first_word FROM k GROUP BY skey
         """,
         # rare-bigram TF-IDF cosine — same DF cap, idf = ln(N/df), and
         # millionths floor as er.tfidf_cosine_pairs

@@ -21,7 +21,7 @@ algorithms are identical up to the hash function.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -430,4 +430,79 @@ def simhash_near_pairs(
         "doc_id_b",
         "hamming",
         F.round((max_hamming - F.col("hamming")) / max_hamming * 100.0, 6).alias("score"),
+    )
+
+
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    min_jaccard_micros: int = 300_000,
+) -> DataFrame:
+    """EXACT character-k-gram Jaccard join via PREFIX FILTERING (Chaudhuri et
+    al. ICDE'06 / Xiao et al. PPJoin, WWW'08 — public algorithms): recall 1.0
+    with a candidate space far below the full inverted-index join, and no
+    statistic change (unlike the DF-cap variant in ngram_jaccard_pairs).
+
+    Pigeonhole: order every doc's shingle set by ONE global canonical order
+    (document frequency asc, shingle asc — rarest first). If J(a,b) ≥ t then
+    |a∩b| ≥ ⌈t·|a|⌉ and ≥ ⌈t·|b|⌉, so any such pair MUST collide inside the
+    first |s| − ⌈t·|s|⌉ + 1 shingles of both docs. Joining only those
+    prefixes finds every qualifying pair; an exact intersection count over
+    the candidates then verifies the threshold.
+
+    Engine-portable integer arithmetic throughout: the threshold is given in
+    MILLIONTHS, ⌈t·n⌉ is computed as (t_micros·n + 999999) div 10⁶, and the
+    accept test is n_inter·10⁶ ≥ t_micros·(n_a + n_b − n_inter) — no float
+    in any decision, so the DuckDB oracle (which states the naive exact
+    Jaccard with no prefix optimization at all) matches bit-for-bit.
+
+    Scale shape: the prefix join keys are the globally RAREST shingles of
+    each doc — per-key bucket sizes are small by construction (a hot shingle
+    never enters a prefix unless a doc consists entirely of hot shingles),
+    which is exactly the skew-safety the DF cap buys, WITHOUT dropping
+    anything. The verify join touches only candidate pairs × |a| rows.
+    """
+    ex = _distinct_shingles(docs, k).localCheckpoint(eager=False)
+    dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "sh")
+    w_size = Window.partitionBy("doc_id")
+    ranked = (
+        ex.join(dfreq, "sh")
+        .select(
+            "doc_id",
+            "sh",
+            F.row_number().over(w_rank).alias("_rnk"),
+            F.count(F.lit(1)).over(w_size).alias("n_sh"),
+        )
+    )
+    o_min = F.floor(
+        (F.lit(min_jaccard_micros) * F.col("n_sh") + 999_999) / F.lit(1_000_000.0)
+    )
+    prefix = ranked.where(F.col("_rnk") <= F.col("n_sh") - o_min + 1)
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ea = ex.select(F.col("doc_id").alias("doc_id_a"), "sh")
+    eb = ex.select(F.col("doc_id").alias("doc_id_b"), "sh")
+    inter = (
+        cand.join(ea, "doc_id_a")
+        .join(eb, ["doc_id_b", "sh"])
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    un = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a")), "doc_id_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b")), "doc_id_b")
+        .where(F.col("n_inter") * 1_000_000 >= F.lit(min_jaccard_micros) * un)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.floor(F.col("n_inter") * 1_000_000 / un).cast("long").alias("jaccard_micros"),
+        )
     )

@@ -238,3 +238,43 @@ def tfidf_cosine_pairs(
         .where(F.col("cosine_micros") >= int(min_cosine * 1_000_000))
         .select("doc_id_a", "doc_id_b", "cosine_micros")
     )
+
+
+# ------------------------------------------------------------- phonetic key
+#: Soundex letter→code map with H and W at the END of the matching string so
+#: translate() DELETES them (chars beyond the replacement length are removed
+#: in both Spark and DuckDB) — deleting H/W implements the classic rule that
+#: same-code consonants separated by h/w collapse to one code.
+_SOUNDEX_FROM = "ABCDEFGIJKLMNOPQRSTUVXYZHW"
+_SOUNDEX_TO = "012301202245501262301202"
+
+
+def phonetic_key(col) -> "F.Column":
+    """American Soundex key (Russell/Odell — public algorithm; the classic
+    phonetic blocking key for name fields): first letter + the first three
+    consonant class codes, vowels breaking runs, h/w transparent.
+
+    FROZEN positional convention (oracle-shared): the first letter's own
+    code is dropped POSITIONALLY after run-collapsing. For words starting
+    with h/w followed by a consonant this deviates from archival Soundex
+    (which keeps the consonant); archival implementations themselves
+    disagree on this edge, so we freeze one rule and state it. Verified
+    against the canonical examples (ROBERT→R163, TYMCZAK→T522,
+    PFISTER→P236, HONEYWELL→H540, AUBREY→A160).
+
+    Pure column algebra (upper/translate/regexp/substring — whole-stage
+    codegen, no Python; the identical expression chain is stated by the
+    DuckDB oracle). NULL/empty input → NULL key.
+
+    For blocking, pass the key column into ``fs_score_pairs``'s
+    ``block_cols`` — phonetic blocks compose with FS scoring directly.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    u = F.upper(F.regexp_replace(c, "[^A-Za-z]", ""))
+    first = F.substring(u, 1, 1)
+    d = F.translate(u, _SOUNDEX_FROM, _SOUNDEX_TO)
+    for code in "123456":
+        d = F.regexp_replace(d, code + "{2,}", code)
+    tail = F.regexp_replace(F.substring(d, 2, 1_000_000), "0", "")
+    key = F.concat(first, F.rpad(F.substring(tail, 1, 3), 3, "0"))
+    return F.when(F.length(u) > 0, key)

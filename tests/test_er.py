@@ -165,3 +165,30 @@ def test_tfidf_cosine_self_similarity_bound(spark):
     for r in rows:
         assert r["doc_id_a"] < r["doc_id_b"]
         assert r["cosine_micros"] <= 1_000_000
+
+
+# ---------------------------------------------------------------- phonetic
+def test_phonetic_key_canonical_examples(spark):
+    """Canonical American-Soundex examples, incl. the h/w collapse rule and
+    the same-code-as-first-letter drop."""
+    from repostcheckerbot_spark.operators.er import phonetic_key
+
+    cases = {
+        "Robert": "R163",
+        "Rupert": "R163",
+        "ROBERT": "R163",     # case-insensitive
+        "Tymczak": "T522",    # CZ same code across the run
+        "Pfister": "P236",    # leading PF collapses with the first letter
+        "Honeyman": "H555",
+        "Honeywell": "H540",
+        "Aubrey": "A160",
+        "Ashcraft": "A261",   # s-h-c: h transparent, S and C same code → one 2
+        "White": "W300",
+        "r2-d2": "R300",      # non-letters stripped before keying
+        "a": "A000",
+        "": None,
+        "42": None,           # no letters → NULL
+    }
+    df = spark.createDataFrame([(w,) for w in cases], "w string")
+    got = {r["w"]: r["k"] for r in df.select("w", phonetic_key("w").alias("k")).collect()}
+    assert got == cases

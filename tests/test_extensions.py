@@ -416,3 +416,75 @@ def test_simhash_manku_combo_keys_same_pairs_finer_buckets(spark):
         dedup_docs.simhash_combo_keys(9, 3, 8)
     with pytest.raises(ValueError):
         dedup_docs.simhash_near_pairs(d, max_hamming=8, num_chunks=10, combo_size=4)
+
+
+def test_prefix_jaccard_equals_exact_and_prunes(spark):
+    """Prefix-filtered join must reproduce the exact uncapped Jaccard pair
+    set (recall 1.0 by pigeonhole), while its candidate space stays below
+    the full inverted-index pair count."""
+    from pyspark.sql import functions as F
+
+    from repostcheckerbot_spark.operators import dedup_docs
+
+    base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    rows = [(i, base) for i in range(3)]  # 3 exact dups
+    rows += [(10 + i, base.replace("dog", f"cat{i}")) for i in range(3)]  # near dups
+    rows += [(100 + i, f"completely different text number {i} with unrelated words") for i in range(4)]
+    # docs sharing only a HOT phrase (df=6) plus unique rare words: the full
+    # inverted-index join pairs all of them; at a tight threshold their
+    # prefixes hold only the unique rare shingles, so they prune away
+    rows += [
+        (200 + i, f"uniqword{i} another{i} special{i} common base phrase here always present")
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in dedup_docs.ngram_jaccard_pairs(docs, k=5, min_jaccard=0.3, max_df_frac=None).collect()
+    }
+    pref = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard_micros"]
+        for r in dedup_docs.prefix_jaccard_pairs(docs, k=5, min_jaccard_micros=300_000).collect()
+    }
+    assert set(pref) == set(exact), "prefix filter lost or invented pairs"
+    for pair, jm in pref.items():
+        assert abs(jm - round(exact[pair] * 1_000_000)) <= 1
+
+    # pruning: candidate pairs from prefixes < full inverted-index pairs
+    ex = dedup_docs._distinct_shingles(docs, 5)
+    full_pairs = (
+        ex.alias("a").join(ex.alias("b"), "sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select("a.doc_id", "b.doc_id").distinct().count()
+    )
+    # reconstruct the operator's candidate count via its own prefix rule
+    from pyspark.sql import Window
+
+    dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = ex.join(dfreq, "sh").select(
+        "doc_id", "sh",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "sh")).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_sh"),
+    )
+    # at t=0.8 the prefix is ~20% of each doc (its globally rarest shingles),
+    # so unrelated docs stop colliding; t=0.3's 70% prefixes still collide on
+    # this 10-doc fixture, which is why the pruning check uses the tight t
+    o_min = F.floor((F.lit(800_000) * F.col("n_sh") + 999_999) / F.lit(1_000_000.0))
+    prefix = ranked.where(F.col("rnk") <= F.col("n_sh") - o_min + 1)
+    cand = (
+        prefix.alias("a").join(prefix.alias("b"), "sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select("a.doc_id", "b.doc_id").distinct().count()
+    )
+    assert cand < full_pairs, f"prefix filter did not prune ({cand} vs {full_pairs})"
+    # and the tight-threshold result still equals the exact statistic
+    exact08 = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup_docs.ngram_jaccard_pairs(docs, k=5, min_jaccard=0.8, max_df_frac=None).collect()
+    }
+    pref08 = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup_docs.prefix_jaccard_pairs(docs, k=5, min_jaccard_micros=800_000).collect()
+    }
+    assert pref08 == exact08
