@@ -223,6 +223,70 @@ def _q_fs_linkage(spark, sf):
     )
 
 
+def _q_fs_decision_counts(spark, sf):
+    """The Fellegi–Sunter THREE-WAY decision rule (match above the upper
+    threshold, clerical-review band between, non-match below) over every
+    scored pair — the decision-theoretic core of the 1969 model."""
+    from repostcheckerbot_spark.operators.er import fs_score_pairs
+
+    recs = _fs_records(spark, sf)
+    agreements = {
+        "name": F.lower(F.col("name_a")) == F.lower(F.col("name_b")),
+        "seg": F.col("seg_a") == F.col("seg_b"),
+        "bal": F.abs(F.col("bal_a") - F.col("bal_b")) < 1.0,
+    }
+    scored = fs_score_pairs(recs, ["nat"], agreements, _FS_MU)
+    decision = (
+        F.when(F.col("fs_score_micros") > 5_000_000, "match")
+        .when(F.col("fs_score_micros") > 0, "possible")
+        .otherwise("non_match")
+    )
+    return scored.select(decision.alias("decision")).groupBy("decision").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+def _q_blocking_metrics(spark, sf):
+    """Blocking-quality evaluation on the dirty record set, blocked on SEG
+    (which variant B flips for every third customer — so completeness is
+    deliberately < 1): reduction ratio = 1 − blocked/total pairs, pairs
+    completeness = co-blocked fraction of true duplicate pairs. All-integer
+    counts, millionths floors."""
+    recs = _fs_records(spark, sf)
+    n = recs.agg(F.count(F.lit(1)).alias("n_records"))
+    blocked = (
+        recs.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .agg(F.sum(F.col("s") * (F.col("s") - 1) / 2).cast("long").alias("n_blocked_pairs"))
+    )
+    # true pairs: the two variants of one customer; co-blocked iff segs agree
+    a = recs.where(F.col("rec_id") % 2 == 0).select(
+        (F.col("rec_id") / 2).cast("long").alias("ck"), F.col("seg").alias("seg_a")
+    )
+    b = recs.where(F.col("rec_id") % 2 == 1).select(
+        ((F.col("rec_id") - 1) / 2).cast("long").alias("ck"), F.col("seg").alias("seg_b")
+    )
+    truth = a.join(b, "ck").agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum(F.when(F.col("seg_a") == F.col("seg_b"), 1).otherwise(0)).alias("n_true_coblocked"),
+    )
+    out = n.crossJoin(blocked).crossJoin(truth)
+    total_pairs = (F.col("n_records") * (F.col("n_records") - 1) / 2).cast("long")
+    return out.select(
+        "n_records",
+        total_pairs.alias("n_total_pairs"),
+        "n_blocked_pairs",
+        "n_true_pairs",
+        "n_true_coblocked",
+        F.floor((1 - F.col("n_blocked_pairs") / total_pairs) * 1_000_000)
+        .cast("long")
+        .alias("reduction_micros"),
+        F.floor(F.col("n_true_coblocked") / F.col("n_true_pairs") * 1_000_000)
+        .cast("long")
+        .alias("completeness_micros"),
+    )
+
+
 def _q_golden_records(spark, sf):
     """Survivorship over source-clusters of documents: canonical lang = mode
     (tie → smallest), text = longest, doc_id = min, n_chars = max."""
@@ -839,6 +903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "levenshtein_pairs": _q_levenshtein_pairs,
         "token_sort_pairs": _q_token_sort_pairs,
         "fs_linkage": _q_fs_linkage,
+        "fs_decision_counts": _q_fs_decision_counts,
+        "blocking_metrics": _q_blocking_metrics,
         "golden_records": _q_golden_records,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "phonetic_keys": _q_phonetic_keys,
@@ -988,6 +1054,34 @@ def _fs_oracle() -> str:
     t_name = f"(CASE WHEN lower(a.name) = lower(b.name) THEN {lit(w['name'][0])} ELSE {lit(w['name'][1])} END)"
     t_seg = f"(CASE WHEN a.seg = b.seg THEN {lit(w['seg'][0])} ELSE {lit(w['seg'][1])} END)"
     thr = int(_FS_THRESHOLD_BITS * 1_000_000)
+    return _fs_pairs_cte(t_bal, t_name, t_seg) + f"""
+        SELECT nat, rec_id_a, rec_id_b, agree_bal, agree_name, agree_seg, fs_score_micros
+        FROM pairs WHERE fs_score_micros > {thr}
+    """
+
+
+def _fs_decision_oracle() -> str:
+    """Three-way decision counts over the SAME scored-pair CTE."""
+    from repostcheckerbot_spark.operators.er import fs_weights
+
+    w = fs_weights(_FS_MU)
+
+    def lit(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    t_bal = f"(CASE WHEN abs(a.bal - b.bal) < 1.0 THEN {lit(w['bal'][0])} ELSE {lit(w['bal'][1])} END)"
+    t_name = f"(CASE WHEN lower(a.name) = lower(b.name) THEN {lit(w['name'][0])} ELSE {lit(w['name'][1])} END)"
+    t_seg = f"(CASE WHEN a.seg = b.seg THEN {lit(w['seg'][0])} ELSE {lit(w['seg'][1])} END)"
+    return _fs_pairs_cte(t_bal, t_name, t_seg) + """
+        SELECT CASE WHEN fs_score_micros > 5000000 THEN 'match'
+                    WHEN fs_score_micros > 0 THEN 'possible'
+                    ELSE 'non_match' END AS decision,
+               count(*) AS n_pairs
+        FROM pairs GROUP BY 1
+    """
+
+
+def _fs_pairs_cte(t_bal: str, t_name: str, t_seg: str) -> str:
     return f"""
         WITH recs AS (
           SELECT c_custkey * 2 AS rec_id, c_nationkey AS nat, c_name AS name,
@@ -1007,8 +1101,6 @@ def _fs_oracle() -> str:
                  CAST(floor((0.0 + {t_bal} + {t_name} + {t_seg}) * 1000000) AS BIGINT) AS fs_score_micros
           FROM recs a JOIN recs b ON a.nat = b.nat AND a.rec_id < b.rec_id
         )
-        SELECT nat, rec_id_a, rec_id_b, agree_bal, agree_name, agree_seg, fs_score_micros
-        FROM pairs WHERE fs_score_micros > {thr}
     """
 
 
@@ -1862,6 +1954,36 @@ def oracle_sql() -> dict[str, str]:
         # predicates, and log2(m/u) weight literals (computed once in Python,
         # embedded in both engines; CAST AS DOUBLE defeats DECIMAL parsing)
         "fs_linkage": _fs_oracle(),
+        # three-way FS decision counts (match / possible / non-match) over
+        # the same scored-pair CTE as fs_linkage
+        "fs_decision_counts": _fs_decision_oracle(),
+        # blocking-quality metrics over the same dirty record CTE, blocked on
+        # seg — all-integer counts and millionths floors
+        "blocking_metrics": """
+            WITH recs AS (
+              SELECT c_custkey * 2 AS rec_id, c_custkey AS ck, c_mktsegment AS seg FROM customer
+              UNION ALL
+              SELECT c_custkey * 2 + 1, c_custkey,
+                     CASE WHEN c_custkey % 3 = 0 THEN 'AUTOMOBILE' ELSE c_mktsegment END
+              FROM customer
+            ),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM recs),
+            blocked AS (
+              SELECT CAST(sum(s * (s - 1) / 2) AS BIGINT) AS n_blocked_pairs
+              FROM (SELECT seg, count(*) AS s FROM recs GROUP BY seg)
+            ),
+            truth AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+                     CAST(sum(CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END) AS BIGINT) AS n_true_coblocked
+              FROM recs a JOIN recs b ON a.ck = b.ck AND a.rec_id % 2 = 0 AND b.rec_id % 2 = 1
+            )
+            SELECT n_records,
+                   CAST(n_records * (n_records - 1) / 2 AS BIGINT) AS n_total_pairs,
+                   n_blocked_pairs, n_true_pairs, n_true_coblocked,
+                   CAST(floor((1 - n_blocked_pairs / (n_records * (n_records - 1) / 2)) * 1000000) AS BIGINT) AS reduction_micros,
+                   CAST(floor(n_true_coblocked / n_true_pairs * 1000000) AS BIGINT) AS completeness_micros
+            FROM n, blocked, truth
+        """,
         # survivorship: mode (count DESC, value ASC), longest (length DESC,
         # value ASC), min/max — er.golden_records rule semantics
         "golden_records": """

@@ -278,3 +278,69 @@ def phonetic_key(col) -> "F.Column":
     tail = F.regexp_replace(F.substring(d, 2, 1_000_000), "0", "")
     key = F.concat(first, F.rpad(F.substring(tail, 1, 3), 3, "0"))
     return F.when(F.length(u) > 0, key)
+
+
+# ------------------------------------------------- Fellegi–Sunter EM fitting
+def agreement_pattern_counts(
+    scored_pairs: DataFrame, fields: list[str]
+) -> dict[tuple[bool, ...], int]:
+    """Collapse scored pairs to agreement-PATTERN counts: one groupBy over
+    the ``agree_<field>`` columns → at most 2^F rows collected. This is the
+    entire driver-side footprint of EM fitting — corpus size never reaches
+    the driver, only the pattern histogram."""
+    cols = [f"agree_{f}" for f in fields]
+    rows = scored_pairs.groupBy(*cols).agg(F.count(F.lit(1)).alias("n")).collect()
+    return {tuple(bool(r[c]) for c in cols): r["n"] for r in rows}
+
+
+def fs_estimate_mu(
+    pattern_counts: dict[tuple[bool, ...], int],
+    fields: list[str],
+    iters: int = 100,
+    init_p: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+) -> tuple[dict[str, tuple[float, float]], float]:
+    """Unsupervised (m, u) estimation via the two-class EM of Winkler 1988 /
+    Jaro 1989 (public method): candidate pairs are a mixture of matches
+    (agreeing on field f w.p. m_f) and non-matches (w.p. u_f); EM on the
+    agreement-pattern histogram recovers (m_f, u_f) and the match prevalence
+    p without any labels.
+
+    Deterministic: fixed init, fixed iteration count (bounded driver work —
+    2^F patterns × iters). Returns ({field: (m, u)}, p) ready to feed
+    :func:`fs_score_pairs`. Estimates are clamped to (1e-6, 1−1e-6) so the
+    log₂ weights stay finite even when EM saturates a field.
+    """
+    nf = len(fields)
+    pats = sorted(pattern_counts)
+    n = [float(pattern_counts[g]) for g in pats]
+    total = sum(n)
+    if not total:
+        raise ValueError("empty pattern histogram")
+    p = init_p
+    m = [init_m] * nf
+    u = [init_u] * nf
+
+    def clamp(x: float) -> float:
+        return min(max(x, 1e-6), 1.0 - 1e-6)
+
+    for _ in range(iters):
+        # E-step: posterior match weight per pattern
+        w = []
+        for g in pats:
+            pm, pu = p, 1.0 - p
+            for f in range(nf):
+                pm *= m[f] if g[f] else 1.0 - m[f]
+                pu *= u[f] if g[f] else 1.0 - u[f]
+            w.append(pm / (pm + pu) if pm + pu > 0 else 0.0)
+        # M-step
+        wm = sum(ni * wi for ni, wi in zip(n, w))
+        wu = total - wm
+        p = clamp(wm / total)
+        for f in range(nf):
+            mf = sum(ni * wi for g, ni, wi in zip(pats, n, w) if g[f])
+            uf = sum(ni * (1.0 - wi) for g, ni, wi in zip(pats, n, w) if g[f])
+            m[f] = clamp(mf / wm if wm > 0 else init_m)
+            u[f] = clamp(uf / wu if wu > 0 else init_u)
+    return {fields[f]: (m[f], u[f]) for f in range(nf)}, p

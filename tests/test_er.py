@@ -192,3 +192,41 @@ def test_phonetic_key_canonical_examples(spark):
     df = spark.createDataFrame([(w,) for w in cases], "w string")
     got = {r["w"]: r["k"] for r in df.select("w", phonetic_key("w").alias("k")).collect()}
     assert got == cases
+
+
+# ------------------------------------------------------------------- EM fit
+def test_fs_estimate_mu_recovers_planted_parameters():
+    """EM on an EXACT expected-count histogram (no sampling noise) from
+    known (m, u, p) must recover the parameters closely — pure driver-side
+    math, no Spark."""
+    from itertools import product
+
+    from repostcheckerbot_spark.operators.er import fs_estimate_mu
+
+    fields = ["name", "city", "phone"]
+    m_true = [0.95, 0.85, 0.9]
+    u_true = [0.02, 0.2, 0.05]
+    p_true = 0.08
+    N = 1_000_000
+    counts = {}
+    for g in product([False, True], repeat=3):
+        pm, pu = p_true, 1 - p_true
+        for f in range(3):
+            pm *= m_true[f] if g[f] else 1 - m_true[f]
+            pu *= u_true[f] if g[f] else 1 - u_true[f]
+        counts[g] = round(N * (pm + pu))
+    mu, p = fs_estimate_mu(counts, fields, iters=300)
+    assert abs(p - p_true) < 0.01
+    for f, (mt, ut) in zip(fields, zip(m_true, u_true)):
+        m_hat, u_hat = mu[f]
+        assert abs(m_hat - mt) < 0.03, (f, m_hat, mt)
+        assert abs(u_hat - ut) < 0.03, (f, u_hat, ut)
+
+
+def test_fs_estimate_mu_empty_histogram_raises():
+    import pytest
+
+    from repostcheckerbot_spark.operators.er import fs_estimate_mu
+
+    with pytest.raises(ValueError):
+        fs_estimate_mu({}, ["a"])

@@ -37,6 +37,9 @@ ALLOWED_BNLJ = {
     # bm25_scores: cross join against the ONE-ROW (n_docs, avgdl) corpus
     # aggregate — the standard broadcast-scalar shape.
     "bm25_scores",
+    # blocking_metrics: cross joins of three ONE-ROW aggregates (counts) —
+    # the broadcast-scalar shape.
+    "blocking_metrics",
     # token_sort_pairs: bounded 50-doc scorer-parity surface (like
     # jaro_winkler_pairs / levenshtein_pairs).
     "token_sort_pairs",
