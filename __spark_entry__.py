@@ -1104,6 +1104,111 @@ def _fs_pairs_cte(t_bal: str, t_name: str, t_seg: str) -> str:
     """
 
 
+def _ivf_centroids() -> list[list[float]]:
+    """The EXACT centroids the Spark IVF queries compute: same md5-ordered
+    sample (read via DuckDB instead of Spark), same numpy core — verified
+    bit-identical (similarity.kmeans_centroids_offline)."""
+    from repostcheckerbot_spark.operators.similarity import kmeans_centroids_offline
+
+    return kmeans_centroids_offline(
+        "/root/testdata/sf0.01/embeddings.parquet", n_centroids=8
+    )
+
+
+def _ivf_topk_ctes(cents: list[list[float]], k: int, nprobe: int, max_cell: int) -> str:
+    """CTE chain stating cosine_topk_ivf as SQL over centroid LITERALS:
+    nearest-centroid cell per corpus vector (sim DESC, centroid id ASC —
+    numpy's stable argsort tiebreak), nprobe cells per probe, the
+    deterministic per-cell cap, exact rounded-cosine re-rank."""
+    vals = ",\n              ".join(
+        f"({j}, CAST([{', '.join(repr(float(x)) for x in c)}] AS DOUBLE[]))"
+        for j, c in enumerate(cents)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent(j, c) AS (VALUES {vals}),
+        sims AS (
+          SELECT e.vec_id, cent.j,
+                 list_dot_product(e.v, cent.c)
+                 / (greatest(sqrt(list_dot_product(e.v, e.v)), 1e-12)
+                    * greatest(sqrt(list_dot_product(cent.c, cent.c)), 1e-12)) AS sim
+          FROM e, cent
+        ),
+        ranked AS (
+          SELECT vec_id, j,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j ASC) AS rn
+          FROM sims
+        ),
+        corpus AS (
+          SELECT r.vec_id AS corpus_id, e.v AS cv, r.j AS cell,
+                 row_number() OVER (PARTITION BY r.j ORDER BY r.vec_id) AS crn
+          FROM ranked r JOIN e ON e.vec_id = r.vec_id WHERE r.rn = 1
+        ),
+        probes AS (
+          SELECT r.vec_id AS probe_id, e.v AS pv, r.j AS cell
+          FROM ranked r JOIN e ON e.vec_id = r.vec_id
+          WHERE r.vec_id < 10 AND r.rn <= {nprobe}
+        ),
+        scored AS (
+          SELECT p.probe_id, c.corpus_id,
+                 CAST(round(
+                   list_dot_product(p.pv, c.cv)
+                   / (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(c.cv, c.cv)))
+                 , 6) AS DOUBLE) AS cos
+          FROM probes p JOIN corpus c
+            ON p.cell = c.cell AND p.probe_id <> c.corpus_id AND c.crn <= {max_cell}
+        ),
+        ivf_topk AS (
+          SELECT probe_id, corpus_id, cos, CAST(rn AS INT) AS rnk FROM (
+            SELECT probe_id, corpus_id, cos,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, corpus_id ASC) AS rn
+            FROM scored
+          ) WHERE rn <= {k}
+        )
+    """
+
+
+def _ivf_oracle() -> str:
+    return _ivf_topk_ctes(_ivf_centroids(), k=5, nprobe=4, max_cell=10_000) + """
+        SELECT probe_id, corpus_id, cos, rnk FROM ivf_topk
+    """
+
+
+def _ivf_recall_oracle() -> str:
+    """recall@5 of the IVF CTE vs the brute-force truth, same integer-exact
+    single-row shape as similarity.ann_recall."""
+    return _ivf_topk_ctes(_ivf_centroids(), k=5, nprobe=4, max_cell=10_000) + """
+        , bscored AS (
+          SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+                 CAST(round(
+                   list_dot_product(p.v, c.v)
+                   / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v)))
+                 , 6) AS DOUBLE) AS cos
+          FROM e p JOIN e c ON p.vec_id < 10 AND p.vec_id <> c.vec_id
+        ),
+        truth AS (
+          SELECT probe_id, corpus_id FROM (
+            SELECT probe_id, corpus_id,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, corpus_id ASC) AS rn
+            FROM bscored
+          ) WHERE rn <= 5
+        ),
+        tstats AS (
+          SELECT CAST(count(DISTINCT probe_id) AS BIGINT) AS n_probes,
+                 CAST(count(*) AS BIGINT) AS n_truth
+          FROM truth
+        ),
+        hstats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_hits
+          FROM ivf_topk i JOIN truth t
+            ON i.probe_id = t.probe_id AND i.corpus_id = t.corpus_id
+        )
+        SELECT n_probes, n_truth, n_hits,
+               CAST(floor(n_hits * 1000000 / n_truth) AS BIGINT) AS recall_millionths
+        FROM tstats, hstats
+    """
+
+
 def _duckdb_sketch_expr(planes: list[list[float]], vcol: str) -> str:
     """The sign-sketch as DuckDB column algebra over embedded plane literals —
     bit i = (v · plane_i > 0), weighted 2^(T-1-i) exactly like the Spark
@@ -2072,6 +2177,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cosine_topk_lsh": _cosine_lsh_oracle(),
         "cosine_topk_lsh_multi": _cosine_lsh_multi_oracle(),
+        # IVF ANN fully SQL-stated: centroid LITERALS are reproduced
+        # bit-identically by the offline md5-sampled k-means
+        # (similarity.kmeans_centroids_offline — verified equal to the Spark
+        # sample), so cell assignment, nprobe traversal, cap, and re-rank are
+        # all plain SQL. Closes the last two closable no_oracle rows.
+        "cosine_topk_ivf": _ivf_oracle(),
+        "ann_recall_ivf": _ivf_recall_oracle(),
         "cosine_topk_bruteforce": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             scored AS (

@@ -170,40 +170,12 @@ def sample_centroids(embeddings: DataFrame, n_centroids: int, id_col: str = "vec
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 
-def kmeans_centroids(
-    embeddings: DataFrame,
-    n_centroids: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    sample_size: int = 4096,
-    n_iter: int = 10,
-    seed: int = 42,
-) -> list[list[float]]:
-    """Spherical k-means coarse quantizer over a deterministic sample.
-
-    - sample: the ``sample_size`` rows with smallest ``xxhash64(seed || id)``
-      — a seeded pseudo-random sample that is identical across runs and
-      engines (no RNG state), collected to the driver (bounded: sample_size ×
-      dim floats).
-    - init: greedy maximin / k-center (Gonzalez 1985, public algorithm):
-      start from the first sampled row, repeatedly add the point least
-      similar to the chosen set — deterministic, no RNG, and spreads the
-      seeds across the data's actual clusters (the failure mode of the
-      first-N-by-id placeholder).
-    - refine: ``n_iter`` Lloyd rounds of spherical k-means (Dhillon & Modha
-      2001): assign by max cosine, recenter to the normalized mean.
-
-    At cluster scale the same construction runs as k-means|| over a
-    DataFrame sample with the Lloyd step in Spark; the driver-side numpy
-    version is legitimate because the SAMPLE is bounded, not the corpus.
-    Returns k×dim floats, broadcast into the assignment UDF."""
-    sampled = (
-        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .orderBy(F.xxhash64(F.concat(F.lit(str(seed)), F.col("_id").cast("string"))), F.col("_id"))
-        .limit(sample_size)
-        .collect()
-    )
-    X = np.asarray([[float(x) for x in r["_v"]] for r in sampled], dtype=np.float64)
+def _kmeans_core(X: np.ndarray, n_centroids: int, n_iter: int) -> list[list[float]]:
+    """Pure-numpy spherical k-means: greedy maximin / k-center init
+    (Gonzalez 1985) + ``n_iter`` Lloyd rounds (Dhillon & Modha 2001) — fully
+    deterministic (no RNG; ties → smallest index). Shared by the Spark
+    sampler and the offline (oracle-side) reproduction, so both produce
+    BIT-IDENTICAL centroids from the same sample matrix."""
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     k = min(n_centroids, len(Xn))
     chosen = [0]
@@ -223,6 +195,59 @@ def kmeans_centroids(
                 if nrm > 1e-12:
                     C[j] = c / nrm
     return [row.tolist() for row in C]
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    n_iter: int = 10,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer over a deterministic sample.
+
+    - sample: the ``sample_size`` rows with smallest ``md5(seed || id)`` — a
+      seeded pseudo-random sample that is identical across runs AND ENGINES
+      (md5 is the repo's portable hash, so a DuckDB oracle reproduces the
+      exact sample and therefore the exact centroids), collected to the
+      driver (bounded: sample_size × dim floats).
+    - init + refine: :func:`_kmeans_core` (maximin init, Lloyd rounds).
+
+    At cluster scale the same construction runs as k-means|| over a
+    DataFrame sample with the Lloyd step in Spark; the driver-side numpy
+    version is legitimate because the SAMPLE is bounded, not the corpus.
+    Returns k×dim floats, broadcast into the assignment UDF."""
+    sampled = (
+        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.md5(F.concat(F.lit(str(seed)), F.col("_id").cast("string"))), F.col("_id"))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.asarray([[float(x) for x in r["_v"]] for r in sampled], dtype=np.float64)
+    return _kmeans_core(X, n_centroids, n_iter)
+
+
+def kmeans_centroids_offline(
+    parquet_path: str,
+    n_centroids: int,
+    sample_size: int = 4096,
+    n_iter: int = 10,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Oracle-side reproduction of :func:`kmeans_centroids` without Spark:
+    the identical md5-ordered sample read via DuckDB, fed to the identical
+    numpy core — bit-identical centroids, so generated oracle SQL can embed
+    them as literals."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT CAST(embedding AS DOUBLE[]) FROM '{parquet_path}' "
+        f"ORDER BY md5('{seed}' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {sample_size}"
+    ).fetchall()
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    return _kmeans_core(X, n_centroids, n_iter)
 
 
 def _centroid_topn_udf(centroids: list[list[float]], n: int):
