@@ -515,6 +515,30 @@ def _q_events_pivot(spark, sf):
     )
 
 
+def _q_doc_length_percentiles(spark, sf):
+    """Exact interpolated percentiles of document length per source (the
+    corpus-profiling pass). Both engines use the same linear-interpolation
+    definition (verified match at micros precision)."""
+    d = load(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.floor(F.expr("percentile(n_chars, 0.5)") * 1_000_000).cast("long").alias("p50_micros"),
+        F.floor(F.expr("percentile(n_chars, 0.9)") * 1_000_000).cast("long").alias("p90_micros"),
+        F.floor(F.expr("percentile(n_chars, 0.99)") * 1_000_000).cast("long").alias("p99_micros"),
+    )
+
+
+def _q_doc_length_histogram(spark, sf):
+    """Document-length distribution in 50-char buckets — integer floor
+    division, trivially portable."""
+    d = load(spark, sf, "documents")
+    return (
+        d.select(F.floor(F.col("n_chars") / 50).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def _q_events_moving_avg(spark, sf):
     """7-day trailing moving average of daily event counts. The global
     ORDER BY window runs over the AGGREGATED daily frame — cardinality =
@@ -928,6 +952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": _q_events_rollup,
         "events_pivot": _q_events_pivot,
         "events_moving_avg": _q_events_moving_avg,
+        "doc_length_percentiles": _q_doc_length_percentiles,
+        "doc_length_histogram": _q_doc_length_histogram,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "top_orders_by_revenue": _q_top_orders_by_revenue,
         "customer_with_orders": _q_customer_with_orders,
@@ -1762,6 +1788,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(floor(sum(value)) AS BIGINT) AS value_floor
             FROM d GROUP BY ROLLUP(event_type, day)
+        """,
+        # exact interpolated percentiles (both engines: linear interpolation
+        # at rank p·(n−1)) + integer-bucket histogram
+        "doc_length_percentiles": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(floor(quantile_cont(n_chars, 0.5) * 1000000) AS BIGINT) AS p50_micros,
+                   CAST(floor(quantile_cont(n_chars, 0.9) * 1000000) AS BIGINT) AS p90_micros,
+                   CAST(floor(quantile_cont(n_chars, 0.99) * 1000000) AS BIGINT) AS p99_micros
+            FROM documents GROUP BY source
+        """,
+        "doc_length_histogram": """
+            SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket, count(*) AS n_docs
+            FROM documents GROUP BY 1
         """,
         # 7-day trailing moving average over the daily aggregate
         "events_moving_avg": """
