@@ -889,6 +889,32 @@ def _q_transcripts_exact_clusters(spark, sf):
     return docs.join(reps, "doc_sha").select("conv_id", "cluster_id")
 
 
+def _q_cluster_size_histogram(spark, sf):
+    """ER reporting: the distribution of duplicate-cluster sizes over the
+    exact-content clusters of the derived transcripts (size 1 = unique doc)."""
+    from repostcheckerbot_spark.operators.assembly import assemble_docs
+
+    docs = assemble_docs(transcripts_from_documents(spark, sf))
+    sizes = docs.groupBy("doc_sha").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
+
+
+def _q_near_dup_triangles(spark, sf):
+    """Triangle count over the SimHash near-duplicate graph — the classic
+    transitivity diagnostic for pairwise matchers (triangles ≈ coherent
+    clusters; an edge pair missing its closing edge flags threshold
+    inconsistency). Join-based enumeration (a<b<c), no BNLJ; one row."""
+    e = dedup_docs.simhash_near_pairs(load(spark, sf, "documents"), max_hamming=8).select(
+        F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b")
+    )
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = e.join(e2, "b").join(
+        e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")), "left_semi"
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 def _q_transcripts_incremental_clusters(spark, sf):
     """End-to-end check of the INCREMENTAL machinery against the same DuckDB
     oracle as its batch twin: the derived transcripts split into two
@@ -983,6 +1009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_flagship_clusters": _q_transcripts_flagship_clusters,
         "transcripts_exact_clusters": _q_transcripts_exact_clusters,
         "transcripts_incremental_clusters": _q_transcripts_incremental_clusters,
+        "cluster_size_histogram": _q_cluster_size_histogram,
+        "near_dup_triangles": _q_near_dup_triangles,
     }
 
 
@@ -1005,6 +1033,46 @@ _SIMHASH_CHUNKS_SQL = "\n              UNION ALL\n              ".join(
     f"SELECT doc_id, sim_hi, sim_lo, {i} AS chunk_id, {e} AS chunk_val FROM sim"
     for i, e in enumerate(dedup_docs.simhash_chunk_exprs(8, "duckdb"))
 )
+
+
+#: SimHash near-pair SQL (shared by the near-pairs oracle, its Manku twin,
+#: and the triangle-count oracle)
+_SIMHASH_PAIRS_SQL = f"""
+            WITH toks AS (
+              SELECT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+                FROM documents
+              ) WHERE length(tok) > 0
+            ),
+            h AS (SELECT doc_id, md5(tok) AS m FROM toks),
+            bits AS (
+              SELECT doc_id, CAST(b AS INT) AS b,
+                     ((strpos('0123456789abcdef', substr(m, 1 + CAST(b AS INT) // 4, 1)) - 1)
+                      // CAST(pow(2, CAST(b AS INT) % 4) AS INT)) % 2 AS v
+              FROM h, unnest(range(0, 64)) u(b)
+            ),
+            votes AS (SELECT doc_id, b, sum(2 * v - 1) AS s FROM bits GROUP BY doc_id, b),
+            bv AS (SELECT doc_id, b, CASE WHEN s > 0 THEN 1 ELSE 0 END AS bit FROM votes),
+            sim AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN b >= 32 THEN bit * CAST(pow(2, b - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS sim_hi,
+                     CAST(sum(CASE WHEN b < 32 THEN bit * CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sim_lo
+              FROM bv GROUP BY doc_id
+            ),
+            chunks AS (
+              {_SIMHASH_CHUNKS_SQL}
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     a.sim_hi AS ah, a.sim_lo AS al, b.sim_hi AS bh, b.sim_lo AS bl
+              FROM chunks a JOIN chunks b
+                ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+            )
+            SELECT doc_id_a, doc_id_b,
+                   CAST(bit_count(xor(ah, bh)) + bit_count(xor(al, bl)) AS INT) AS hamming
+            FROM cand
+            WHERE bit_count(xor(ah, bh)) + bit_count(xor(al, bl)) < 8
+        """
 
 # distinct shingles with the hot-shingle document-frequency cap applied —
 # mirrors dedup_docs.ngram_jaccard_pairs(max_df_frac=NGRAM_MAX_DF_FRAC)
@@ -1387,42 +1455,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN b < 32 THEN bit * CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sim_lo
             FROM bv GROUP BY doc_id
         """,
-        "simhash_near_pairs": f"""
-            WITH toks AS (
-              SELECT doc_id, tok FROM (
-                SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
-                FROM documents
-              ) WHERE length(tok) > 0
-            ),
-            h AS (SELECT doc_id, md5(tok) AS m FROM toks),
-            bits AS (
-              SELECT doc_id, CAST(b AS INT) AS b,
-                     ((strpos('0123456789abcdef', substr(m, 1 + CAST(b AS INT) // 4, 1)) - 1)
-                      // CAST(pow(2, CAST(b AS INT) % 4) AS INT)) % 2 AS v
-              FROM h, unnest(range(0, 64)) u(b)
-            ),
-            votes AS (SELECT doc_id, b, sum(2 * v - 1) AS s FROM bits GROUP BY doc_id, b),
-            bv AS (SELECT doc_id, b, CASE WHEN s > 0 THEN 1 ELSE 0 END AS bit FROM votes),
-            sim AS (
-              SELECT doc_id,
-                     CAST(sum(CASE WHEN b >= 32 THEN bit * CAST(pow(2, b - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS sim_hi,
-                     CAST(sum(CASE WHEN b < 32 THEN bit * CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sim_lo
-              FROM bv GROUP BY doc_id
-            ),
-            chunks AS (
-              {_SIMHASH_CHUNKS_SQL}
-            ),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-                     a.sim_hi AS ah, a.sim_lo AS al, b.sim_hi AS bh, b.sim_lo AS bl
-              FROM chunks a JOIN chunks b
-                ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
-            )
-            SELECT doc_id_a, doc_id_b,
-                   CAST(bit_count(xor(ah, bh)) + bit_count(xor(al, bl)) AS INT) AS hamming
-            FROM cand
-            WHERE bit_count(xor(ah, bh)) + bit_count(xor(al, bl)) < 8
-        """,
+        "simhash_near_pairs": _SIMHASH_PAIRS_SQL,
         "token_stats": """
             SELECT doc_id,
                    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -2275,9 +2308,31 @@ def oracle_sql() -> dict[str, str]:
             reps AS (SELECT h, min(conv_id) AS cluster_id FROM docs2 GROUP BY h)
             SELECT d.conv_id, r.cluster_id FROM docs2 d JOIN reps r ON r.h = d.h
         """,
-        # transcripts_flagship_clusters / cosine_topk_ivf / ann_recall_ivf:
-        # non-SQL-expressible (difflib + iterative CC; data-dependent k-means
-        # codebook) → rows-only checks, each gated by pytest recall/F1 tests.
+        # ER reporting: duplicate-cluster size distribution + transitivity
+        # triangles over the simhash near-dup graph
+        "cluster_size_histogram": f"""
+            WITH {_TRANSCRIPT_FULL_CTE.strip()},
+            docs2 AS (
+              SELECT conv_id,
+                     md5(regexp_replace(string_agg(turn_text, chr(10) ORDER BY turn_idx), '\\s+', '', 'g')) AS h
+              FROM allturns
+              WHERE turn_text NOT IN ('&#x200B;', '', '[removed]', '[deleted]')
+              GROUP BY conv_id
+            ),
+            sizes AS (SELECT h, CAST(count(*) AS BIGINT) AS cluster_size FROM docs2 GROUP BY h)
+            SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY 1
+        """,
+        "near_dup_triangles": f"""
+            WITH edges AS ({_SIMHASH_PAIRS_SQL})
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM edges e1
+            JOIN edges e2 ON e1.doc_id_b = e2.doc_id_a
+            JOIN edges e3 ON e3.doc_id_a = e1.doc_id_a AND e3.doc_id_b = e2.doc_id_b
+        """,
+        # transcripts_flagship_clusters is the ONLY remaining rows-only check:
+        # difflib scoring + iterative CC are non-SQL-expressible by design;
+        # its exact-channel twin (transcripts_exact_clusters) IS value-hashed
+        # and the fuzzy channel is gated by the pytest F1 ≥ 0.99 acceptance.
     }
     # the Manku-combination candidate scheme is recall-1.0 by the same
     # pigeonhole argument as the single-chunk scheme, so the ACCEPTED pair set
