@@ -581,6 +581,50 @@ def _q_q1_pricing_summary(spark, sf):
     )
 
 
+def _q_q3_shipping_priority(spark, sf):
+    """TPC-H Q3 shape (adapted to this schema's date range): segment filter
+    → 3-way join → per-order revenue → top 10. Customer side is filtered
+    BEFORE the join (predicate pushdown) and broadcast (small after the
+    segment filter)."""
+    cutoff = F.lit("1997-06-01").cast("timestamp")
+    c = load(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = load(spark, sf, "orders").where(F.col("o_orderdate").cast("timestamp") < cutoff)
+    li = load(spark, sf, "lineitem").where(F.col("l_shipdate").cast("timestamp") > cutoff)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+def _q_q5_local_supplier_volume(spark, sf):
+    """TPC-H Q5 shape: 6-way join (customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈
+    nation ⋈ region) with the local-supplier constraint c_nationkey =
+    s_nationkey; dims broadcast, facts join on their keys."""
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf, "orders").where(
+        (F.col("o_orderdate").cast("timestamp") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate").cast("timestamp") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf, "region").where(F.col("r_name") == "ASIA").select("r_regionkey")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), (o["o_custkey"] == c["c_custkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
 def _q_top_orders_by_revenue(spark, sf):
     li = load(spark, sf, "lineitem")
     o = load(spark, sf, "orders")
@@ -981,6 +1025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_percentiles": _q_doc_length_percentiles,
         "doc_length_histogram": _q_doc_length_histogram,
         "q1_pricing_summary": _q_q1_pricing_summary,
+        "q3_shipping_priority": _q_q3_shipping_priority,
+        "q5_local_supplier_volume": _q_q5_local_supplier_volume,
         "top_orders_by_revenue": _q_top_orders_by_revenue,
         "customer_with_orders": _q_customer_with_orders,
         "customer_without_orders": _q_customer_without_orders,
@@ -1888,6 +1934,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1997-06-01'
+              AND l_shipdate > TIMESTAMP '1997-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
         """,
         "top_orders_by_revenue": """
             WITH rev AS (
