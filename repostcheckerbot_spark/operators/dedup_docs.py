@@ -457,10 +457,14 @@ def prefix_jaccard_pairs(
     Jaccard with no prefix optimization at all) matches bit-for-bit.
 
     Scale shape: the prefix join keys are the globally RAREST shingles of
-    each doc — per-key bucket sizes are small by construction (a hot shingle
-    never enters a prefix unless a doc consists entirely of hot shingles),
-    which is exactly the skew-safety the DF cap buys, WITHOUT dropping
-    anything. The verify join touches only candidate pairs × |a| rows.
+    each doc, plus the standard PPJoin LENGTH filter (J ≥ t ⇒ t·|a| ≤ |b| ≤
+    |a|/t — a necessary condition, so results are unchanged) pruning the
+    candidate join further. Effectiveness is DATA-DEPENDENT: on Zipfian
+    real-world corpora the rarest-prefix buckets are tiny; on an adversarial
+    dense corpus (every shingle hot — e.g. a small-vocabulary synthetic) the
+    prefixes stay hot and the exact verify dominates. For that regime use
+    the probabilistic channels (MinHash-LSH / SimHash) or the DF-capped
+    statistic — this operator is the EXACT-join primitive of the family.
     """
     ex = _distinct_shingles(docs, k).localCheckpoint(eager=False)
     dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -481,8 +485,14 @@ def prefix_jaccard_pairs(
     prefix = ranked.where(F.col("_rnk") <= F.col("n_sh") - o_min + 1)
     cand = (
         prefix.alias("a")
-        .join(prefix.alias("b"), "sh")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .join(
+            prefix.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: t·|a| ≤ |b| and t·|b| ≤ |a| (all-integer)
+            & (F.lit(min_jaccard_micros) * F.col("a.n_sh") <= F.lit(1_000_000) * F.col("b.n_sh"))
+            & (F.lit(min_jaccard_micros) * F.col("b.n_sh") <= F.lit(1_000_000) * F.col("a.n_sh")),
+        )
         .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
         .distinct()
     )
