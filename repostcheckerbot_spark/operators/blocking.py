@@ -315,9 +315,15 @@ def blocklocal_candidates(docs: DataFrame, cfg: PipelineConfig, max_block: int =
         return out[[*key, "conv_id_a", "conv_id_b"]]
 
     small_pairs = small.groupBy(*key).applyInPandas(_pairs, schema=out_schema)
+    # plan-shape probe: does ANY block exceed max_block? One max-aggregate over
+    # the checkpointed split frame — this is the action that materializes the
+    # checkpoint anyway, so the probe is fused with work that had to happen
+    # (the previous `big.limit(1).count()` shape planned a LocalLimit +
+    # single-partition GlobalLimit exchange on top of the same scan).
+    max_blk = sized.agg(F.max("_blk_sz")).collect()[0][0] or 0
     big_pairs, bucket_metrics = (
         generate_candidates(big, cfg)
-        if big.limit(1).count()  # skip the whole LSH subplan when no big blocks
+        if max_blk > max_block  # skip the whole LSH subplan when no big blocks
         else (
             docs.sparkSession.createDataFrame([], out_schema),
             docs.sparkSession.createDataFrame([], metrics_schema),

@@ -77,29 +77,42 @@ class IncrementalPipeline:
         metrics = MetricsSink(self.wh)
         t0 = time.monotonic()
 
+        # Job-launch discipline (this batch's wall time is dominated by the
+        # ~1-3 s driver floor PER JOB, not by data volume — BENCH/BASELINE.md):
+        # every checkpoint in this method is LAZY and materialized by the next
+        # action that already has to run (a bucket-id collect, a metric count),
+        # so each fused pair costs ONE job launch, not two.
         assembled = assemble_docs(
             apply_ingest_gate(new_transcripts, cfg.retention_days, now=now)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
 
         if self.wh.exists("corpus_docs"):
             # J1: identity skip — already-logged conv_ids never re-enter.
             # Bucket-pruned: only corpus buckets that can contain a batch
-            # conv_id are scanned (I/O ∝ batch buckets, not corpus).
+            # conv_id are scanned (I/O ∝ batch buckets, not corpus). The
+            # bucket-id collect inside read_bucket_pruned materializes the
+            # `assembled` checkpoint.
             known, skip_pruning = self.wh.read_bucket_pruned(
                 "corpus_docs", assembled.select("conv_id"), "conv_id"
             )
             batch_docs = assembled.join(
                 known.select("conv_id"), "conv_id", "left_anti"
-            ).localCheckpoint(eager=True)
-            metrics.record_count("ingest.identity_skip", batch_docs.count(), **skip_pruning)
+            ).localCheckpoint(eager=False)
         else:
-            batch_docs = assembled
-        metrics.record_count("ingest.batch_docs", batch_docs.count())
+            batch_docs, skip_pruning = assembled, None
+        # ONE count materializes batch_docs and feeds BOTH metric rows (the
+        # identity-skip survivors and the batch size are the same number).
+        n_batch = batch_docs.count()
+        if skip_pruning is not None:
+            metrics.record_count("ingest.identity_skip", n_batch, **skip_pruning)
+        metrics.record_count("ingest.batch_docs", n_batch)
 
         sig = with_signature(batch_docs, cfg).select(*cfg.block_cols, "conv_id", "minhash")
         banded = with_bands(sig, cfg)
         key = [*cfg.block_cols, "band_id", "band_hash"]
-        batch_bands = banded.select(*key, "conv_id").localCheckpoint(eager=True)
+        # lazy: materialized by the corpus_bands bucket-id collect below (or,
+        # on a fresh warehouse, by the capped-pool heads aggregate)
+        batch_bands = banded.select(*key, "conv_id").localCheckpoint(eager=False)
 
         # ---- exact edges: STAR-CAPPED probe — one edge per batch doc --------
         # The r1 cut joined batch sha against (corpus ∪ batch): one edge per
@@ -189,7 +202,7 @@ class IncrementalPipeline:
                 F.count(F.lit(1)).over(w_size).alias("_sz"),
             )
             .where(F.col("_rn") <= cfg.max_band_bucket)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # the heads aggregate materializes it
         )
         heads = capped.where(F.col("_rn") == 1).agg(
             F.sum("_sz").alias("pool_rows"),
@@ -261,7 +274,9 @@ class IncrementalPipeline:
             new_edges = new_edges.join(
                 dead.withColumnRenamed("conv_id", "conv_id_a"), "conv_id_a", "left_anti"
             ).join(dead.withColumnRenamed("conv_id", "conv_id_b"), "conv_id_b", "left_anti")
-        new_edges = new_edges.localCheckpoint(eager=True)
+        # lazy: the metric count materializes the checkpoint — and it MUST run
+        # before the upserts below rewrite the corpus files this lineage reads
+        new_edges = new_edges.localCheckpoint(eager=False)
         metrics.record_count("ingest.new_edges", new_edges.count())
 
         # ---- persist state (idempotent upserts, ST5) -------------------------
@@ -337,7 +352,19 @@ class IncrementalPipeline:
         # 15.9 s per micro-batch at a 5k-conv corpus — so small states take
         # the full path and big states the incremental one. First batch (no
         # clusters yet) always runs the full CC.
-        old_n = self.wh.read("clusters").count() if self.wh.exists("clusters") else -1
+        #
+        # The threshold input is the MAINTAINED row count in the clusters
+        # table meta (Iceberg snapshot-summary analog), not a count() job per
+        # batch: clusters carries exactly one row per corpus conversation
+        # (vertices = all corpus docs in both paths), so the count advances by
+        # n_batch per batch and by −n_deleted per purge (recompute_clusters
+        # re-seeds it). Legacy warehouses without the stat count once.
+        if self.wh.exists("clusters"):
+            old_n = self.wh.get_meta("clusters", "n_rows")
+            if old_n is None:
+                old_n = self.wh.read("clusters").count()
+        else:
+            old_n = -1
         if old_n >= cfg.incremental_clusters_min_corpus:
             old_clusters = self.wh.read("clusters")
             touched = (
@@ -388,6 +415,9 @@ class IncrementalPipeline:
                 # first write creates the bucketed layout + meta the
                 # incremental path merges into later
                 self.wh.upsert("clusters", clusters, key="conv_id", n_buckets=cfg.warehouse_buckets)
+        # advance the maintained clusters row count: one row per corpus conv,
+        # and every batch doc is NEW (identity skip) — no count() job needed
+        self.wh.set_meta("clusters", "n_rows", max(old_n, 0) + n_batch)
         metrics.record_count("ingest.batch", 0, wall_s=time.monotonic() - t0)
         metrics.flush()
         return {
@@ -495,6 +525,9 @@ class IncrementalPipeline:
             max_iterations=self.cfg.cc_max_iterations,
         )
         self.wh.upsert_replace("clusters", clusters)
+        # re-seed the maintained row count (one row per surviving corpus conv;
+        # purges are rare relative to batches, so one count here is fine)
+        self.wh.set_meta("clusters", "n_rows", self.wh.read("clusters").count())
         return self.wh.read("clusters")
 
     def retention_sweep(self, now=None) -> int:

@@ -70,6 +70,19 @@ class Warehouse:
         with open(self._meta_path(table), "w") as f:
             json.dump(meta, f)
 
+    def get_meta(self, table: str, key: str, default=None):
+        """Read one key from the table's layout/stats metadata (e.g. a
+        maintained row count — Iceberg snapshot-summary analog). Returns
+        ``default`` when absent."""
+        return self._read_table_meta(table).get(key, default)
+
+    def set_meta(self, table: str, key: str, value) -> None:
+        """Read-modify-write one metadata key, preserving layout keys
+        (n_buckets/bucket_key/schema)."""
+        meta = self._read_table_meta(table)
+        meta[key] = value
+        self._write_table_meta(table, meta)
+
     def overwrite(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
         w = df.write.mode("overwrite")
         if partition_by:
@@ -184,8 +197,11 @@ class Warehouse:
             current.join(df2.select(*keys).distinct(), keys, "left_anti")
             .unionByName(df2)
             # materialize BEFORE overwriting the path being read (classic
-            # read-then-overwrite footgun; the staging protocol equivalent)
-            .localCheckpoint(eager=True)
+            # read-then-overwrite footgun; the staging protocol equivalent).
+            # LAZY + count(): the count IS the materializing action — one job
+            # instead of two (the micro-batch pays a 1-3 s driver floor per
+            # job launch, BENCH/BASELINE.md).
+            .localCheckpoint(eager=False)
         )
         rows = merged.count()
         # per-write option — scoped to this write, unlike the session conf
@@ -268,7 +284,8 @@ class Warehouse:
         keep = current
         for c in cols:
             keep = keep.join(keys.withColumnRenamed("_k", c), c, "left_anti")
-        keep = keep.localCheckpoint(eager=True)
+        # lazy: the n_after count below materializes the checkpoint (one job)
+        keep = keep.localCheckpoint(eager=False)
         n_before = current.count()
         n_after = keep.count()
         if n_after == n_before:
