@@ -433,10 +433,74 @@ def simhash_near_pairs(
     )
 
 
+def _prefix_frame(ex: DataFrame, min_jaccard_micros: int) -> DataFrame:
+    """Canonical-order prefix of every doc's distinct-shingle set
+    (df asc, shingle asc — rarest first): the first |s| − ⌈t·|s|⌉ + 1
+    shingles, with their global rank ``_rnk`` and doc size ``n_sh``."""
+    dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "sh")
+    w_size = Window.partitionBy("doc_id")
+    ranked = ex.join(dfreq, "sh").select(
+        "doc_id",
+        "sh",
+        F.row_number().over(w_rank).alias("_rnk"),
+        F.count(F.lit(1)).over(w_size).alias("n_sh"),
+    )
+    o_min = F.floor(
+        (F.lit(min_jaccard_micros) * F.col("n_sh") + 999_999) / F.lit(1_000_000.0)
+    )
+    return ranked.where(F.col("_rnk") <= F.col("n_sh") - o_min + 1)
+
+
+def _prefix_jaccard_candidates(
+    prefix: DataFrame, min_jaccard_micros: int, positional_filter: bool
+) -> DataFrame:
+    """Candidate pairs from the ranked prefix frame (doc_id, sh, _rnk, n_sh):
+    prefix-collision self-join with the PPJoin length filter and (optionally)
+    the POSITIONAL filter (Xiao et al. WWW'08 §3.2). For a collision at
+    canonical ranks (i, j), common shingles ordered before the current one
+    number ≤ min(i,j) − 1 (they occupy ranks < i in a and < j in b), the
+    current one is 1, and those after ≤ min(|a|−i, |b|−j) — so
+    |a∩b| ≤ min(i,j) + min(|a|−i, |b|−j). If that upper bound is below the
+    required overlap α = ⌈t·(|a|+|b|)/(1+t)⌉ (J ≥ t ⟺ inter ≥ α, the same
+    integer algebra as the accept test), the collision cannot witness a
+    qualifying pair. LOSSLESS for the pair set: a true pair satisfies the
+    bound at EVERY common shingle, so all its collision rows survive.
+    All-integer; zero statistic change. Split out so tests can assert the
+    candidate count strictly shrinks while the accepted pairs stay equal."""
+    join_cond = (
+        (F.col("a.sh") == F.col("b.sh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        # length filter: t·|a| ≤ |b| and t·|b| ≤ |a| (all-integer)
+        & (F.lit(min_jaccard_micros) * F.col("a.n_sh") <= F.lit(1_000_000) * F.col("b.n_sh"))
+        & (F.lit(min_jaccard_micros) * F.col("b.n_sh") <= F.lit(1_000_000) * F.col("a.n_sh"))
+    )
+    if positional_filter:
+        alpha = F.floor(
+            (
+                F.lit(min_jaccard_micros) * (F.col("a.n_sh") + F.col("b.n_sh"))
+                + F.lit(1_000_000 + min_jaccard_micros)
+                - 1
+            )
+            / F.lit(float(1_000_000 + min_jaccard_micros))
+        )
+        ubound = F.least(F.col("a._rnk"), F.col("b._rnk")) + F.least(
+            F.col("a.n_sh") - F.col("a._rnk"), F.col("b.n_sh") - F.col("b._rnk")
+        )
+        join_cond = join_cond & (ubound >= alpha)
+    return (
+        prefix.alias("a")
+        .join(prefix.alias("b"), join_cond)
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+
+
 def prefix_jaccard_pairs(
     docs: DataFrame,
     k: int = 5,
     min_jaccard_micros: int = 300_000,
+    positional_filter: bool = True,
 ) -> DataFrame:
     """EXACT character-k-gram Jaccard join via PREFIX FILTERING (Chaudhuri et
     al. ICDE'06 / Xiao et al. PPJoin, WWW'08 — public algorithms): recall 1.0
@@ -458,8 +522,11 @@ def prefix_jaccard_pairs(
 
     Scale shape: the prefix join keys are the globally RAREST shingles of
     each doc, plus the standard PPJoin LENGTH filter (J ≥ t ⇒ t·|a| ≤ |b| ≤
-    |a|/t — a necessary condition, so results are unchanged) pruning the
-    candidate join further. Effectiveness is DATA-DEPENDENT: on Zipfian
+    |a|/t) and POSITIONAL filter (overlap upper bound from the collision
+    ranks vs the required overlap α — see inline derivation) pruning the
+    candidate join further; both are necessary conditions, so results are
+    unchanged (tests assert the pair set is identical with the filters off
+    and the candidate count strictly smaller with them on). Effectiveness is DATA-DEPENDENT: on Zipfian
     real-world corpora the rarest-prefix buckets are tiny; on an adversarial
     dense corpus (every shingle hot — e.g. a small-vocabulary synthetic) the
     prefixes stay hot and the exact verify dominates. For that regime use
@@ -467,35 +534,8 @@ def prefix_jaccard_pairs(
     statistic — this operator is the EXACT-join primitive of the family.
     """
     ex = _distinct_shingles(docs, k).localCheckpoint(eager=False)
-    dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    w_rank = Window.partitionBy("doc_id").orderBy("df", "sh")
-    w_size = Window.partitionBy("doc_id")
-    ranked = (
-        ex.join(dfreq, "sh")
-        .select(
-            "doc_id",
-            "sh",
-            F.row_number().over(w_rank).alias("_rnk"),
-            F.count(F.lit(1)).over(w_size).alias("n_sh"),
-        )
-    )
-    o_min = F.floor(
-        (F.lit(min_jaccard_micros) * F.col("n_sh") + 999_999) / F.lit(1_000_000.0)
-    )
-    prefix = ranked.where(F.col("_rnk") <= F.col("n_sh") - o_min + 1)
-    cand = (
-        prefix.alias("a")
-        .join(
-            prefix.alias("b"),
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # length filter: t·|a| ≤ |b| and t·|b| ≤ |a| (all-integer)
-            & (F.lit(min_jaccard_micros) * F.col("a.n_sh") <= F.lit(1_000_000) * F.col("b.n_sh"))
-            & (F.lit(min_jaccard_micros) * F.col("b.n_sh") <= F.lit(1_000_000) * F.col("a.n_sh")),
-        )
-        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
-        .distinct()
-    )
+    prefix = _prefix_frame(ex, min_jaccard_micros)
+    cand = _prefix_jaccard_candidates(prefix, min_jaccard_micros, positional_filter)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ea = ex.select(F.col("doc_id").alias("doc_id_a"), "sh")
     eb = ex.select(F.col("doc_id").alias("doc_id_b"), "sh")

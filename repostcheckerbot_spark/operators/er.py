@@ -63,6 +63,7 @@ def fs_score_pairs(
     mu: dict[str, tuple[float, float]],
     id_col: str = "rec_id",
     threshold_bits: float | None = None,
+    equi_agreements: dict[str, "F.Column"] | None = None,
 ) -> DataFrame:
     """Fellegi–Sunter linkage over all record pairs within each block.
 
@@ -75,17 +76,53 @@ def fs_score_pairs(
 
     returned as ``fs_score_micros`` (floor ×1e6; engine-portable), summed in
     sorted-field-name order (frozen, oracle-mirrored). With
-    ``threshold_bits``, adds ``is_match = score > threshold`` and FILTERS to
-    matches (the linkage output); without it, returns all scored pairs.
+    ``threshold_bits``, FILTERS to pairs with score > threshold (the linkage
+    output — no extra column is added; every surviving row IS a match);
+    without it, returns all scored pairs. A NULL agreement predicate (a
+    missing field on either side) scores as DISagreement — the ``otherwise``
+    branch — and the emitted ``agree_<f>`` flag stays NULL so callers can
+    distinguish "disagreed" from "unknown".
 
     The block key bounds the pair space — the caller owns block sizing
     (compose with LSH bands for text fields; see module docstring).
+
+    **Threshold-implied blocking** (``equi_agreements``): for a field whose
+    agreement predicate is equivalent to equality of a per-RECORD expression
+    (e.g. ``{"name": F.lower(F.col("name"))}``), AND whose agreement is
+    PROVABLY NECESSARY to clear ``threshold_bits`` — i.e. the best achievable
+    score with that field disagreeing, Σ_{g≠f} max(w_g) + w_f^dis, cannot
+    exceed the threshold — the expression is promoted into the JOIN KEY.
+    The output is bit-identical (every surviving pair agrees on the field
+    either way — the weight algebra is checked here, per field, and fields
+    that are not necessary are left out of the key), but the pair space
+    collapses from O(block²) to the equality-group pairs: the classic
+    Fellegi–Sunter observation that a high-m/low-u field at a high threshold
+    IS a blocking key. At 100 TB this is the difference between an 18M-pair
+    block join and a fine-grained equi-join.
     """
     weights = fs_weights(mu)
+    extra_keys: list[str] = []
+    key_exprs: dict[str, "F.Column"] = {}
+    if threshold_bits is not None and equi_agreements:
+        thr_micros = int(threshold_bits * 1_000_000)
+        for f, expr in equi_agreements.items():
+            ub_without = weights[f][1] + sum(
+                max(weights[g]) for g in agreements if g != f
+            )
+            # floor-micros comparison mirrors the output filter exactly: if
+            # even the best completion floors to ≤ threshold, no pair lacking
+            # this agreement can survive — promotion is lossless.
+            if math.floor(ub_without * 1_000_000) <= thr_micros:
+                extra_keys.append(f"_ek_{f}")
+                key_exprs[f"_ek_{f}"] = expr
     others = [c for c in records.columns if c not in block_cols]
-    a = records.select(*block_cols, *[F.col(c).alias(f"{c}_a") for c in others])
-    b = records.select(*block_cols, *[F.col(c).alias(f"{c}_b") for c in others])
-    pairs = a.join(b, block_cols).where(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+    join_cols = [*block_cols, *extra_keys]
+    src = records
+    for k, expr in key_exprs.items():
+        src = src.withColumn(k, expr)
+    a = src.select(*join_cols, *[F.col(c).alias(f"{c}_a") for c in others])
+    b = src.select(*join_cols, *[F.col(c).alias(f"{c}_b") for c in others])
+    pairs = a.join(b, join_cols).where(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
 
     score = F.lit(0.0)
     flags = []
@@ -185,6 +222,14 @@ def tfidf_cosine_pairs(
     idf = ln(N/df); weight = tf·idf; cosine = dot/(‖a‖·‖b‖), floored to
     millionths. Shape: per-doc gram tf (one groupBy), df (one groupBy),
     pair join on gram (bounded per-gram by the DF cap), pair-sum groupBy.
+
+    Oracle-portability caveat: ``cosine_micros`` floors a floating-point
+    SUM whose accumulation order is partitioning- and engine-dependent. A
+    dot product landing within ~1 ULP of a millionths boundary could flip
+    the last digit between Spark and DuckDB despite correct code. The
+    Jaccard/FS channels avoid this by summing scaled integers; here the
+    tf·idf weights are irrational (ln), so the residual boundary risk is
+    accepted and stated rather than hidden.
     """
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     grams = (
@@ -287,10 +332,25 @@ def agreement_pattern_counts(
     """Collapse scored pairs to agreement-PATTERN counts: one groupBy over
     the ``agree_<field>`` columns → at most 2^F rows collected. This is the
     entire driver-side footprint of EM fitting — corpus size never reaches
-    the driver, only the pattern histogram."""
+    the driver, only the pattern histogram.
+
+    NULL agreement flags (a missing field on either side — the normal case
+    in dirty ER data) are folded into ``False`` BEFORE grouping, matching
+    :func:`fs_score_pairs`'s scoring of NULL as disagreement, so the
+    True/False/NULL three-way split cannot produce colliding keys; counts
+    are still accumulated additively as a guard."""
     cols = [f"agree_{f}" for f in fields]
-    rows = scored_pairs.groupBy(*cols).agg(F.count(F.lit(1)).alias("n")).collect()
-    return {tuple(bool(r[c]) for c in cols): r["n"] for r in rows}
+    rows = (
+        scored_pairs.select(*[F.coalesce(F.col(c), F.lit(False)).alias(c) for c in cols])
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts: dict[tuple[bool, ...], int] = {}
+    for r in rows:
+        key = tuple(bool(r[c]) for c in cols)
+        counts[key] = counts.get(key, 0) + r["n"]
+    return counts
 
 
 def fs_estimate_mu(

@@ -323,6 +323,8 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cell: int | None = IVF_MAX_CELL,
+    adaptive_stop: bool = False,
+    keep_probe_rank: bool = False,
 ) -> DataFrame:
     """IVF ANN: corpus vectors live in their nearest-centroid cell; a probe
     scans only its ``nprobe`` nearest cells, exact cosine re-rank inside.
@@ -333,10 +335,16 @@ def cosine_topk_ivf(
     probe side against cell-pruned corpus partitions. Degenerate mega-cells
     are capped at ``max_cell`` members (deterministic smallest ids; over-cap
     cells enumerable via :func:`ivf_cell_metrics`). Probe cells come out of
-    the assignment UDF nearest-first (``probe_rank`` = traversal order), so a
-    scale implementation can early-terminate after the closest cells; the
-    batch join scans all nprobe cells at once. Recall is tunable via nprobe —
-    measured against brute force in ann_recall queries/tests."""
+    the assignment UDF nearest-first and ``probe_rank`` (= traversal order)
+    is CARRIED THROUGH THE JOIN, so ``adaptive_stop=True`` early-terminates
+    per probe: cells are consumed nearest-first and scanning stops at the
+    first rank where the probe has accumulated ≥ k candidates (the whole
+    tying rank is kept — deterministic). That is the IVF early-termination
+    rule expressed declaratively — one extra range-frame window on the
+    (probe_id) partitioning the top-k window needs anyway, no extra
+    shuffle. Recall is tunable via nprobe and measured against brute force
+    in ann_recall queries/tests; the adaptive variant trades recall for
+    scanned cells (test asserts both directions)."""
     corpus = _cap_cells(
         with_ivf_cell(embeddings, centroids, vec_col).select(
             F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"), "cell"
@@ -349,17 +357,32 @@ def cosine_topk_ivf(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("pv"),
         F.posexplode(topn(F.col(vec_col))).alias("probe_rank", "cell"),
-    ).drop("probe_rank")
+    )
     scored = (
         corpus.join(F.broadcast(p), "cell")
         .where(F.col("probe_id") != F.col("corpus_id"))
         .withColumn("cos", F.round(cosine(F.col("pv"), F.col("cv")), 6))
     )
+    if adaptive_stop:
+        # candidates accumulated over STRICTLY nearer cells: a row survives
+        # iff the probe had fewer than k candidates before its cell's rank —
+        # i.e. everything up to and including the first rank that reaches k.
+        w_prev = (
+            Window.partitionBy("probe_id")
+            .orderBy("probe_rank")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        scored = scored.withColumn(
+            "_cum_prev", F.count(F.lit(1)).over(w_prev)
+        ).where(F.col("_cum_prev") < k)
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
+    out_cols = ["probe_id", "corpus_id", "cos", "rnk"]
+    if keep_probe_rank:
+        out_cols.append("probe_rank")  # which traversal step found each hit
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
-        .select("probe_id", "corpus_id", "cos", "rnk")
+        .select(*out_cols)
     )
 
 

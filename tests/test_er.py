@@ -71,6 +71,75 @@ def test_fs_score_pairs_known_answer(spark):
     assert {(r["rec_id_a"], r["rec_id_b"]) for r in matched} == {(1, 2)}
 
 
+def test_fs_equi_agreement_promotion_lossless(spark):
+    """Threshold-implied blocking: promoting a provably-necessary equality
+    field into the join key must not change the matched-pair set; a field
+    that is NOT necessary at the threshold must not be promoted (the
+    unfiltered pair space still reaches the scorer)."""
+    recs = spark.createDataFrame(
+        [
+            (1, 10, "ann smith", "berlin"),
+            (2, 10, "ann smith", "berlin"),
+            (3, 10, "ann smith", "munich"),  # name agrees, city differs
+            (4, 10, "bob jones", "berlin"),  # city agrees, name differs
+        ],
+        "rec_id long, blk int, name string, city string",
+    )
+    mu = {"name": (0.9, 0.001), "city": (0.8, 0.1)}
+    agreements = {
+        "name": F.col("name_a") == F.col("name_b"),
+        "city": F.col("city_a") == F.col("city_b"),
+    }
+    w = fs_weights(mu)
+    # threshold above the best name-disagreeing score → name is necessary
+    thr = w["name"][1] + w["city"][0] + 0.5
+    base = {
+        (r["rec_id_a"], r["rec_id_b"], r["fs_score_micros"])
+        for r in fs_score_pairs(recs, ["blk"], agreements, mu, threshold_bits=thr).collect()
+    }
+    promoted = {
+        (r["rec_id_a"], r["rec_id_b"], r["fs_score_micros"])
+        for r in fs_score_pairs(
+            recs, ["blk"], agreements, mu, threshold_bits=thr,
+            equi_agreements={"name": F.col("name")},
+        ).collect()
+    }
+    assert promoted == base and len(base) > 0
+
+    # city is NOT necessary at a low threshold: asking to promote it must be
+    # a no-op (pairs disagreeing on city but passing still appear)
+    low = w["name"][0] + w["city"][1] - 0.5  # (1,3) passes with city disagreeing
+    got = {
+        (r["rec_id_a"], r["rec_id_b"])
+        for r in fs_score_pairs(
+            recs, ["blk"], agreements, mu, threshold_bits=low,
+            equi_agreements={"city": F.col("city")},
+        ).collect()
+    }
+    assert (1, 3) in got, "non-necessary field was wrongly promoted to a join key"
+
+
+def test_agreement_pattern_counts_null_folding(spark):
+    """NULL agreement flags (missing fields) fold into False before grouping
+    and colliding patterns accumulate — the EM histogram must conserve the
+    total pair count."""
+    from repostcheckerbot_spark.operators.er import agreement_pattern_counts
+
+    pairs = spark.createDataFrame(
+        [
+            (True, True),
+            (True, None),   # NULL → folds to (True, False)
+            (True, False),  # collides with the folded row → must sum
+            (None, None),   # → (False, False)
+            (False, False),
+        ],
+        "agree_x boolean, agree_y boolean",
+    )
+    counts = agreement_pattern_counts(pairs, ["x", "y"])
+    assert counts == {(True, True): 1, (True, False): 2, (False, False): 2}
+    assert sum(counts.values()) == 5
+
+
 # -------------------------------------------------------------- survivorship
 def test_golden_records_rules_and_ties(spark):
     df = spark.createDataFrame(

@@ -234,6 +234,46 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     assert rec.recall_millionths >= 900_000  # ≥ 0.9 recall gate
 
 
+def test_ivf_adaptive_stop_recall_vs_cells_scanned(spark):
+    """IVF early termination (adaptive_stop): scanning stops at the first
+    probe_rank that accumulates ≥ k candidates, so (a) the scanned-cell count
+    drops strictly below the full nprobe sweep, (b) every returned hit comes
+    from the nearest cells (probe_rank-prefix property), and (c) recall is
+    bounded by the full sweep but stays above the single-cell floor."""
+    emb = _clustered_vectors(spark)
+    probes = emb.where(F.col("vec_id") < 10)
+    cents = similarity.kmeans_centroids(emb, n_centroids=10, sample_size=200)
+    brute = similarity.cosine_topk_bruteforce(emb, probes, k=5)
+
+    # (a) k=5: every ~19-candidate home cell already satisfies k, so the
+    # adaptive rule stops every probe at rank 0 (independently derivable from
+    # the cell sizes: cum(rank 0) = 19 ≥ 5).
+    adap5 = similarity.cosine_topk_ivf(
+        emb, probes, cents, k=5, nprobe=4, adaptive_stop=True, keep_probe_rank=True
+    )
+    assert {r["probe_rank"] for r in adap5.collect()} == {0}
+
+    # (b) k=30: cum(rank 0) = 19 < 30 ≤ cum(rank 1) = 39 → the rule stops at
+    # rank 1, while the full nprobe=4 sweep's top-30 draws from every rank —
+    # the scanned-cell cut is visible in the output itself.
+    full30 = similarity.cosine_topk_ivf(
+        emb, probes, cents, k=30, nprobe=4, keep_probe_rank=True
+    )
+    adap30 = similarity.cosine_topk_ivf(
+        emb, probes, cents, k=30, nprobe=4, adaptive_stop=True, keep_probe_rank=True
+    )
+    full_ranks = {r["probe_rank"] for r in full30.collect()}
+    adap_ranks = {r["probe_rank"] for r in adap30.collect()}
+    assert max(adap_ranks) <= 1 < max(full_ranks)
+
+    # (c) recall ordering at k=5: full ≥ adaptive, and adaptive still clears
+    # 0.8 on the tight-cluster fixture (true neighbors live in the home cell)
+    full5 = similarity.cosine_topk_ivf(emb, probes, cents, k=5, nprobe=4)
+    rec_full = similarity.ann_recall(full5, brute).collect()[0]["recall_millionths"]
+    rec_adap = similarity.ann_recall(adap5, brute).collect()[0]["recall_millionths"]
+    assert rec_full >= rec_adap >= 800_000
+
+
 def test_embedding_near_dup_channel_recall(spark):
     emb = _clustered_vectors(spark)
     cents = similarity.sample_centroids(emb, n_centroids=10)
@@ -488,3 +528,50 @@ def test_prefix_jaccard_equals_exact_and_prunes(spark):
         for r in dedup_docs.prefix_jaccard_pairs(docs, k=5, min_jaccard_micros=800_000).collect()
     }
     assert pref08 == exact08
+
+
+def test_prefix_jaccard_positional_filter_lossless_and_pruning(spark):
+    """PPJoin positional filter: the accepted pair set is IDENTICAL with the
+    filter on and off (it is a necessary condition), while the candidate
+    count strictly shrinks on a corpus where prefix collisions happen at
+    late/asymmetric ranks."""
+    from repostcheckerbot_spark.operators import dedup_docs
+
+    base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    rows = [(i, base) for i in range(3)]
+    rows += [(10 + i, base.replace("dog", f"cat{i}")) for i in range(3)]
+    rows += [
+        (200 + i, f"uniqword{i} another{i} special{i} common base phrase here always present")
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    t = 600_000
+    on = {
+        (r["doc_id_a"], r["doc_id_b"], r["jaccard_micros"])
+        for r in dedup_docs.prefix_jaccard_pairs(
+            docs, k=5, min_jaccard_micros=t, positional_filter=True
+        ).collect()
+    }
+    off = {
+        (r["doc_id_a"], r["doc_id_b"], r["jaccard_micros"])
+        for r in dedup_docs.prefix_jaccard_pairs(
+            docs, k=5, min_jaccard_micros=t, positional_filter=False
+        ).collect()
+    }
+    assert on == off and len(on) > 0, "positional filter changed the pair set"
+
+    # Pruning bites exactly when the collision ranks are ASYMMETRIC: for
+    # equal sizes the bound is n − |i−j|, so a shingle that is doc A's rarest
+    # (rank 1) but sits late in doc B's prefix (rank 9) bounds the overlap at
+    # 1 + (20−9) = 12 < α = ⌈0.6·40/1.6⌉ = 15 → candidate eliminated, while
+    # a rank-1/rank-1 collision (docs 3,4) survives. Constructed prefix frame
+    # (doc_id, sh, _rnk, n_sh) drives the candidate builder directly.
+    rows = [(1, "shared", 1, 20)] + [(1, f"a{r}", r, 20) for r in range(2, 10)]
+    rows += [(2, f"b{r}", r, 20) for r in range(1, 9)] + [(2, "shared", 9, 20)]
+    rows += [(3, "match", 1, 20)] + [(3, f"c{r}", r, 20) for r in range(2, 10)]
+    rows += [(4, "match", 1, 20)] + [(4, f"d{r}", r, 20) for r in range(2, 10)]
+    prefix = spark.createDataFrame(rows, "doc_id long, sh string, _rnk int, n_sh long")
+    n_on = dedup_docs._prefix_jaccard_candidates(prefix, t, True).count()
+    n_off = dedup_docs._prefix_jaccard_candidates(prefix, t, False).count()
+    assert (n_off, n_on) == (2, 1), f"expected (1,2) pruned, (3,4) kept ({n_on} vs {n_off})"
