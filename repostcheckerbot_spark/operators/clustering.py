@@ -71,7 +71,7 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
 
 
 def _driver_union_find(
-    spark: SparkSession, e: DataFrame, metrics: list[dict] | None
+    spark: SparkSession, rows: list, metrics: list[dict] | None
 ) -> DataFrame:
     """Bounded small-graph fast path: union-find with path compression and
     min-id roots on the driver. Only reachable when the deduped edge count is
@@ -79,9 +79,10 @@ def _driver_union_find(
     pairs ≈ 10 MB — NOT an unbounded corpus collect). The star-contraction
     path pays ~1-3 s of scheduler latency per probe job, which dominates
     end-to-end wall when the edge set is tiny; union-find on the same graph
-    is milliseconds. Result is identical: cluster_id = lexicographic min."""
+    is milliseconds. Result is identical: cluster_id = lexicographic min.
+    Takes the ALREADY-COLLECTED edge rows — the caller's limit-collect both
+    sizes the graph and fetches it in one job."""
     t0 = time.monotonic()
-    rows = e.collect()
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -159,20 +160,25 @@ def connected_components(
     ).distinct()
     # edge sets are typically tiny relative to the corpus (only matched
     # pairs); right-size partitions so each of the O(log n) rounds doesn't
-    # pay a full-width shuffle of near-empty tasks. The count materializes
-    # the (lazy) checkpoint — one job for dedup + sizing.
+    # pay a full-width shuffle of near-empty tasks.
     e = e.localCheckpoint(eager=False)
+    if checkpoint_dir is None:
+        # ONE job both sizes the graph and fetches it when small: a
+        # limit-collect at threshold+1 materializes the (lazy) checkpoint,
+        # and its length decides the path — the previous count()-then-
+        # collect() shape paid two job launches on the driver floor.
+        rows = e.limit(small_graph_threshold + 1).collect()
+        if len(rows) <= small_graph_threshold:
+            out = _driver_union_find(spark, rows, metrics)
+            if vertices is not None:
+                singles = (
+                    vertices.select("conv_id")
+                    .join(out.select("conv_id"), "conv_id", "left_anti")
+                    .withColumn("cluster_id", F.col("conv_id"))
+                )
+                out = out.unionByName(singles)
+            return out
     n_edges = e.count()
-    if n_edges <= small_graph_threshold and checkpoint_dir is None:
-        out = _driver_union_find(spark, e, metrics)
-        if vertices is not None:
-            singles = (
-                vertices.select("conv_id")
-                .join(out.select("conv_id"), "conv_id", "left_anti")
-                .withColumn("cluster_id", F.col("conv_id"))
-            )
-            out = out.unionByName(singles)
-        return out
     parts = max(1, min(e.sparkSession.sparkContext.defaultParallelism, n_edges // 20_000 + 1))
     e = e.repartition(parts)
 

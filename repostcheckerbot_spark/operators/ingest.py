@@ -77,6 +77,11 @@ class IncrementalPipeline:
         metrics = MetricsSink(self.wh)
         t0 = time.monotonic()
 
+        def _lap() -> float:
+            """Wall-clock since batch start — stamped onto every stage metric
+            so the lineage shows WHERE a slow micro-batch spent its time."""
+            return round(time.monotonic() - t0, 3)
+
         # Job-launch discipline (this batch's wall time is dominated by the
         # ~1-3 s driver floor PER JOB, not by data volume — BENCH/BASELINE.md):
         # every checkpoint in this method is LAZY and materialized by the next
@@ -100,12 +105,27 @@ class IncrementalPipeline:
             ).localCheckpoint(eager=False)
         else:
             batch_docs, skip_pruning = assembled, None
-        # ONE count materializes batch_docs and feeds BOTH metric rows (the
-        # identity-skip survivors and the batch size are the same number).
-        n_batch = batch_docs.count()
+        # ONE aggregate materializes batch_docs and yields (a) the batch size
+        # for both metric rows (identity-skip survivors ≡ batch size), (b)
+        # the conv_id bucket ids the corpus_docs merge will touch, (c) the
+        # doc_sha bucket ids the corpus_reps probe AND merge will touch —
+        # all under the warehouse bucket hash, so the downstream
+        # read_bucket_pruned / upsert calls skip their own collect jobs.
+        nb = int(cfg.warehouse_buckets)
+        _b = lambda c: F.collect_set(F.pmod(F.xxhash64(c), F.lit(nb)).cast("int"))  # noqa: E731
+        srow = batch_docs.agg(
+            F.count(F.lit(1)).alias("n"), _b("conv_id").alias("cb"), _b("doc_sha").alias("sb")
+        ).collect()[0]
+        n_batch, conv_buckets, sha_buckets = int(srow["n"]), list(srow["cb"]), list(srow["sb"])
+
+        def _tb(table: str, buckets: list[int]) -> list[int] | None:
+            """Pre-computed touched buckets are only valid when the table's
+            layout hash matches this config's bucket count."""
+            return buckets if self.wh.get_meta(table, "n_buckets") == nb else None
+
         if skip_pruning is not None:
-            metrics.record_count("ingest.identity_skip", n_batch, **skip_pruning)
-        metrics.record_count("ingest.batch_docs", n_batch)
+            metrics.record_count("ingest.identity_skip", n_batch, wall_s=_lap(), **skip_pruning)
+        metrics.record_count("ingest.batch_docs", n_batch, wall_s=_lap())
 
         sig = with_signature(batch_docs, cfg).select(*cfg.block_cols, "conv_id", "minhash")
         banded = with_bands(sig, cfg)
@@ -136,9 +156,12 @@ class IncrementalPipeline:
         batch_reps = probe.groupBy("doc_sha").agg(F.min("conv_id").alias("brep"))
         if self.wh.exists("corpus_reps"):
             crep_src, rep_pruning = self.wh.read_bucket_pruned(
-                "corpus_reps", probe.select("doc_sha"), "doc_sha"
+                "corpus_reps",
+                probe.select("doc_sha"),
+                "doc_sha",
+                touched=_tb("corpus_reps", sha_buckets),
             )
-            metrics.record_count("ingest.rep_probe", 0, **rep_pruning)
+            metrics.record_count("ingest.rep_probe", 0, wall_s=_lap(), **rep_pruning)
             crep = crep_src.select("doc_sha", F.col("rep").alias("crep"))
             reps = batch_reps.join(crep, "doc_sha", "left").select(
                 "doc_sha", F.coalesce("crep", "brep").alias("rep")
@@ -209,7 +232,7 @@ class IncrementalPipeline:
             F.sum((F.col("_sz") > cfg.max_band_bucket).cast("long")).alias("n_capped"),
         ).collect()[0]
         metrics.record_count(
-            "ingest.probe_pool_bands", heads["pool_rows"] or 0, **pruning
+            "ingest.probe_pool_bands", heads["pool_rows"] or 0, wall_s=_lap(), **pruning
         )
         metrics.record_count(
             "ingest.capped_band_buckets", heads["n_capped"] or 0, cap=cfg.max_band_bucket
@@ -237,7 +260,7 @@ class IncrementalPipeline:
             corpus_texts, text_pruning = self.wh.read_bucket_pruned(
                 "corpus_docs", cand_ids, "conv_id"
             )
-            metrics.record_count("ingest.text_lookup", 0, **text_pruning)
+            metrics.record_count("ingest.text_lookup", 0, wall_s=_lap(), **text_pruning)
             texts = corpus_texts.select("conv_id", "doc_sha", "norm_text").unionByName(texts)
         # exact-exclusion (J4) is SHA-INEQUALITY, not an edge anti-join: exact
         # edges are stars now, so two non-rep members of one sha group never
@@ -274,59 +297,104 @@ class IncrementalPipeline:
             new_edges = new_edges.join(
                 dead.withColumnRenamed("conv_id", "conv_id_a"), "conv_id_a", "left_anti"
             ).join(dead.withColumnRenamed("conv_id", "conv_id_b"), "conv_id_b", "left_anti")
-        # lazy: the metric count materializes the checkpoint — and it MUST run
-        # before the upserts below rewrite the corpus files this lineage reads
+        # lazy: the metric aggregate materializes the checkpoint — and it MUST
+        # run before the upserts below rewrite the corpus files this lineage
+        # reads. The same aggregate also yields the edge-table bucket ids the
+        # edges merge will touch (fused, like the batch_docs aggregate above).
         new_edges = new_edges.localCheckpoint(eager=False)
-        metrics.record_count("ingest.new_edges", new_edges.count())
+        erow = new_edges.agg(
+            F.count(F.lit(1)).alias("n"), _b("conv_id_a").alias("eb")
+        ).collect()[0]
+        edge_buckets = list(erow["eb"])
+        metrics.record_count("ingest.new_edges", int(erow["n"]), wall_s=_lap())
 
         # ---- persist state (idempotent upserts, ST5) -------------------------
-        # corpus_docs is hash-bucketed by conv_id: the merge rewrites only the
-        # buckets this batch touches (I/O ∝ batch, not corpus) — recorded in
-        # the metrics lineage.
-        stats = self.wh.upsert(
-            "corpus_docs", batch_docs.select(*DOC_COLS), key="conv_id", n_buckets=cfg.warehouse_buckets
-        )
-        metrics.record_count(
-            "ingest.upsert_corpus_docs",
-            stats["rows_written"] or 0,
-            buckets_touched=stats["buckets_touched"],
-            buckets_total=stats["buckets_total"],
-        )
-        # corpus_reps index: upsert the batch shas' rep rows (existing shas
-        # rewrite their identical row — idempotent; I/O ∝ touched buckets).
-        # First write on a legacy warehouse backfills from the post-merge
-        # corpus so the index is COMPLETE (a batch-only seed would make old
-        # shas look new to later probes and silently split their groups).
-        if self.wh.exists("corpus_reps"):
-            self.wh.upsert(
-                "corpus_reps", reps.select("doc_sha", "rep"), key="doc_sha", n_buckets=cfg.warehouse_buckets
+        # The four state writes touch DISJOINT tables and read only
+        # materialized checkpoints (batch_docs, batch_bands, new_edges) plus
+        # their own table's files, so they run CONCURRENTLY from driver
+        # threads (Spark's scheduler interleaves the jobs across the
+        # executor pool — on a cluster this is four small jobs sharing the
+        # same stage slots): persist wall = max of the four, not the sum.
+        # Every merge gets its touched-bucket list pre-computed (fused into
+        # the aggregates above), so no write pays a bucket-id collect job.
+        def _persist_docs() -> dict:
+            # corpus_docs is hash-bucketed by conv_id: the merge rewrites
+            # only the buckets this batch touches (I/O ∝ batch, not corpus)
+            return self.wh.upsert(
+                "corpus_docs",
+                batch_docs.select(*DOC_COLS),
+                key="conv_id",
+                n_buckets=cfg.warehouse_buckets,
+                touched=_tb("corpus_docs", conv_buckets),
             )
+
+        def _persist_reps() -> None:
+            # corpus_reps index: upsert the batch shas' rep rows (existing
+            # shas rewrite their identical row — idempotent)
+            self.wh.upsert(
+                "corpus_reps",
+                reps.select("doc_sha", "rep"),
+                key="doc_sha",
+                n_buckets=cfg.warehouse_buckets,
+                touched=_tb("corpus_reps", sha_buckets),
+            )
+
+        def _persist_bands() -> None:
+            # corpus_bands: hash-bucketed by band_hash (append-only — band
+            # rows are immutable per conv) so the probe prunes at scan time
+            self.wh.append_bucketed(
+                "corpus_bands", batch_bands, key="band_hash", n_buckets=cfg.warehouse_buckets
+            )
+
+        def _persist_edges() -> dict:
+            # edges: bucketed MERGE on the pair key (bucketed by conv_id_a) —
+            # the r2 cut rewrote + dropDuplicates'd the FULL edge history
+            # every batch; now write I/O ∝ new edges' buckets.
+            return self.wh.upsert(
+                "edges",
+                new_edges.dropDuplicates(["conv_id_a", "conv_id_b"]),
+                key=["conv_id_a", "conv_id_b"],
+                n_buckets=cfg.warehouse_buckets,
+                touched=_tb("edges", edge_buckets),
+            )
+
+        if self.wh.exists("corpus_reps"):
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                f_docs = pool.submit(_persist_docs)
+                f_reps = pool.submit(_persist_reps)
+                f_bands = pool.submit(_persist_bands)
+                f_edges = pool.submit(_persist_edges)
+                stats = f_docs.result()
+                f_reps.result()
+                f_bands.result()
+                edge_stats = f_edges.result()
         else:
+            # legacy warehouse without the reps index: the backfill seed
+            # reads the POST-merge corpus (a batch-only seed would make old
+            # shas look new to later probes and silently split their groups),
+            # so the docs merge must land first — sequential on this path.
+            stats = _persist_docs()
             seed = (
                 self.wh.read("corpus_docs")
                 .groupBy("doc_sha")
                 .agg(F.min("conv_id").alias("rep"))
             )
             self.wh.upsert("corpus_reps", seed, key="doc_sha", n_buckets=cfg.warehouse_buckets)
-
-        # corpus_bands: hash-bucketed by band_hash (append-only — band rows
-        # are immutable per conv) so the probe above prunes buckets at scan
-        self.wh.append_bucketed(
-            "corpus_bands", batch_bands, key="band_hash", n_buckets=cfg.warehouse_buckets
-        )
-
-        # edges: bucketed MERGE on the pair key (bucketed by conv_id_a) — the
-        # r2 cut rewrote + dropDuplicates'd the FULL edge history every batch;
-        # now write I/O ∝ new edges' buckets.
-        edge_stats = self.wh.upsert(
-            "edges",
-            new_edges.dropDuplicates(["conv_id_a", "conv_id_b"]),
-            key=["conv_id_a", "conv_id_b"],
-            n_buckets=cfg.warehouse_buckets,
+            _persist_bands()
+            edge_stats = _persist_edges()
+        metrics.record_count(
+            "ingest.upsert_corpus_docs",
+            stats["rows_written"] or 0,
+            wall_s=_lap(),
+            buckets_touched=stats["buckets_touched"],
+            buckets_total=stats["buckets_total"],
         )
         metrics.record_count(
             "ingest.upsert_edges",
             edge_stats["rows_written"] or 0,
+            wall_s=_lap(),
             buckets_touched=edge_stats["buckets_touched"],
             buckets_total=edge_stats["buckets_total"],
         )
@@ -397,6 +465,7 @@ class IncrementalPipeline:
             metrics.record_count(
                 "ingest.clusters_merge",
                 cstats["rows_written"] or 0,
+                wall_s=_lap(),
                 buckets_touched=cstats["buckets_touched"],
                 buckets_total=cstats["buckets_total"],
             )

@@ -115,25 +115,44 @@ class Warehouse:
             return
         df2.write.mode("append").partitionBy("_bucket").parquet(self._path(table))
 
-    def read_bucket_pruned(self, table: str, keys: DataFrame, key_col: str) -> tuple[DataFrame, dict]:
+    def read_bucket_pruned(
+        self,
+        table: str,
+        keys: DataFrame,
+        key_col: str,
+        touched: list[int] | None = None,
+    ) -> tuple[DataFrame, dict]:
         """Read only the buckets that can contain ``keys[key_col]`` values —
         scan-time partition pruning for probe workloads. Returns (frame,
         {"buckets_read", "buckets_total"}); falls back to a full read when the
         table isn't bucketed on ``key_col``. The touched-bucket list is ≤
-        n_buckets small ints (bounded driver value, not a key collect)."""
+        n_buckets small ints (bounded driver value, not a key collect).
+
+        ``touched`` lets a caller pass a PRE-COMPUTED bucket-id list (fused
+        into an aggregate it already ran — one job instead of two); it must
+        cover every key's bucket under the table's own hash
+        (pmod(xxhash64(key), n_buckets)) or rows are silently missed."""
         meta = self._read_table_meta(table)
         n = meta.get("n_buckets")
         if not n or meta.get("bucket_key") != key_col:
             return self.read(table), {"buckets_read": None, "buckets_total": n}
-        kname = keys.columns[0] if key_col not in keys.columns else key_col
-        kb = keys.select(
-            F.pmod(F.xxhash64(F.col(kname)), F.lit(int(n))).cast("int").alias("_b")
-        ).distinct()
-        touched = [r["_b"] for r in kb.collect()]
+        if touched is None:
+            kname = keys.columns[0] if key_col not in keys.columns else key_col
+            kb = keys.select(
+                F.pmod(F.xxhash64(F.col(kname)), F.lit(int(n))).cast("int").alias("_b")
+            ).distinct()
+            touched = [r["_b"] for r in kb.collect()]
         df = self._read_raw(table).where(F.col("_bucket").isin(touched)).drop("_bucket")
         return df, {"buckets_read": len(touched), "buckets_total": int(n)}
 
-    def upsert(self, table: str, df: DataFrame, key: str | list[str], n_buckets: int | None = None) -> dict:
+    def upsert(
+        self,
+        table: str,
+        df: DataFrame,
+        key: str | list[str],
+        n_buckets: int | None = None,
+        touched: list[int] | None = None,
+    ) -> dict:
         """MERGE-style idempotent upsert (reference ST5: re-sweeps tolerated
         because the Url probe short-circuits, database.py:328-358).
 
@@ -154,12 +173,19 @@ class Warehouse:
 
         Returns {"rows_written", "buckets_touched", "buckets_total"} so
         callers can record merge I/O in the metrics lineage.
+
+        ``touched``: pre-computed SUPERSET of the batch rows' bucket ids
+        (fused into an aggregate the caller already ran — saves the internal
+        bucket-id collect job). Must cover every df row's bucket under
+        pmod(xxhash64(keys[0]), n_buckets): a df row landing in an unlisted
+        bucket would dynamic-overwrite that bucket WITHOUT its existing rows.
+        Extra listed buckets are read and rewritten byte-identically (safe).
         """
         keys = [key] if isinstance(key, str) else list(key)
         meta = self._read_table_meta(table)
         n_buckets = n_buckets or meta.get("n_buckets")
         if n_buckets:
-            return self._upsert_bucketed(table, df, keys, int(n_buckets))
+            return self._upsert_bucketed(table, df, keys, int(n_buckets), touched)
         if not self.exists(table):
             self.overwrite(table, df)
             return {"rows_written": None, "buckets_touched": None, "buckets_total": None}
@@ -171,7 +197,14 @@ class Warehouse:
     def _bucket_col(self, key: str, n_buckets: int):
         return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
 
-    def _upsert_bucketed(self, table: str, df: DataFrame, keys: list[str], n_buckets: int) -> dict:
+    def _upsert_bucketed(
+        self,
+        table: str,
+        df: DataFrame,
+        keys: list[str],
+        n_buckets: int,
+        touched: list[int] | None = None,
+    ) -> dict:
         """Bucketed MERGE. Buckets hash on ``keys[0]``; the matched-row
         rewrite anti-joins on ALL key columns (composite keys supported, e.g.
         edges on (conv_id_a, conv_id_b) bucketed by conv_id_a)."""
@@ -187,9 +220,10 @@ class Warehouse:
             # files to infer from — the meta schema reconstructs the frame
             n = self._read_raw(table).count()
             return {"rows_written": n, "buckets_touched": n_buckets, "buckets_total": n_buckets}
-        # the touched-bucket list is ≤ n_buckets small ints — a bounded
-        # driver-side value, NOT a key collect
-        touched = [r["_bucket"] for r in df2.select("_bucket").distinct().collect()]
+        if touched is None:
+            # the touched-bucket list is ≤ n_buckets small ints — a bounded
+            # driver-side value, NOT a key collect
+            touched = [r["_bucket"] for r in df2.select("_bucket").distinct().collect()]
         if not touched:  # empty batch: nothing to merge, nothing rewritten
             return {"rows_written": 0, "buckets_touched": 0, "buckets_total": n_buckets}
         current = self._read_raw(table).where(F.col("_bucket").isin(touched))
