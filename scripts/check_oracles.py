@@ -6,6 +6,7 @@ value hashes. Usage: python scripts/check_oracles.py [name ...]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
@@ -14,7 +15,10 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+# same env override the data-dependent oracles honor (__spark_entry__.py:
+# _ORACLE_SF_DIR) — pointing both at another SF keeps the offline
+# recomputations comparing against the data the Spark side reads
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
 
 
