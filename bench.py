@@ -130,11 +130,11 @@ def main() -> None:
     if os.path.isdir(warm_dir):
         run_batch(transcripts_from_documents(spark, warm_dir), PipelineConfig()).clusters.count()
         wtr = transcripts_from_documents(spark, warm_dir)
-        wpipe = IncrementalPipeline(
-            Warehouse(spark, tempfile.mkdtemp(prefix="rcb_bench_incr_warm_")), PipelineConfig()
-        )
+        _warm_wh = tempfile.mkdtemp(prefix="rcb_bench_incr_warm_")
+        wpipe = IncrementalPipeline(Warehouse(spark, _warm_wh), PipelineConfig())
         wpipe.process_batch(wtr.where(F.abs(F.xxhash64("conv_id")) % 2 == 0))
         wpipe.process_batch(wtr.where(F.abs(F.xxhash64("conv_id")) % 2 == 1))
+        shutil.rmtree(_warm_wh, ignore_errors=True)
     _build_incr_template()  # 90% corpus for the micro-batch query (untimed)
 
     all_runs: dict[str, list[float]] = {name: [] for name, _ in suite}
@@ -177,6 +177,7 @@ def main() -> None:
             )
     except OSError:
         pass  # read-only checkout: the summary line below still stands alone
+    shutil.rmtree(_incr_template, ignore_errors=True)  # drop the 90% template
     print(
         json.dumps(
             {
