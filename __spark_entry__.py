@@ -936,6 +936,30 @@ def _q_transcripts_flagship_clusters(spark, sf):
     return res.clusters
 
 
+def _q_er_pairwise_metrics(spark, sf):
+    """Pairwise precision/recall/F1 of the FLAGSHIP clustering against the
+    planted repost labels — the north rule's acceptance statistic as a
+    driver-visible, value-hash-oracled query (the oracle enumerates predicted
+    pairs from the independent offline referee's clustering). Precision < 1
+    is expected: transitive difflib matches beyond the planted pairs are
+    real duplicates the labels don't enumerate."""
+    from repostcheckerbot_spark.operators.er import pairwise_cluster_metrics
+
+    clusters = _q_transcripts_flagship_clusters(spark, sf)
+    ids = load(spark, sf, "documents").select("doc_id")
+    pad = F.lpad(F.col("doc_id").cast("string"), 8, "0")
+    truth = (
+        ids.where(F.col("doc_id") % 7 == 0)
+        .select(F.concat(F.lit("c"), pad).alias("id_a"), F.concat(F.lit("d"), pad).alias("id_b"))
+        .unionByName(
+            ids.where((F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 7 != 0)).select(
+                F.concat(F.lit("c"), pad).alias("id_a"), F.concat(F.lit("n"), pad).alias("id_b")
+            )
+        )
+    )
+    return pairwise_cluster_metrics(clusters, truth)
+
+
 def _q_transcripts_exact_clusters(spark, sf):
     """Exact-duplicate clusters over derived transcripts (the reference's
     100%-score path): cluster = min conv_id per identical normalized doc."""
@@ -1002,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # follow in their r3 order.
     return {
         "transcripts_flagship_clusters": _q_transcripts_flagship_clusters,
+        "er_pairwise_metrics": _q_er_pairwise_metrics,
         "transcripts_exact_clusters": _q_transcripts_exact_clusters,
         "transcripts_incremental_clusters": _q_transcripts_incremental_clusters,
         "transcripts_doc_assembly": _q_transcripts_doc_assembly,
@@ -1282,6 +1307,25 @@ def _ivf_centroids() -> list[list[float]]:
     )
 
 
+def _referee_values() -> str:
+    """The offline referee's (conv_id, cluster_id) relation as a SQL VALUES
+    body — computed once per process (the referee is a few seconds of
+    all-pairs difflib) and shared by every oracle that needs the flagship
+    ground truth."""
+    global _REFEREE_VALUES_CACHE
+    if _REFEREE_VALUES_CACHE is None:
+        from repostcheckerbot_spark.operators.referee import flagship_clusters_offline
+
+        rows = flagship_clusters_offline(_ORACLE_SF_DIR)
+        _REFEREE_VALUES_CACHE = ",\n              ".join(
+            f"('{c}', '{k}')" for c, k in rows
+        )
+    return _REFEREE_VALUES_CACHE
+
+
+_REFEREE_VALUES_CACHE: str | None = None
+
+
 def _flagship_oracle() -> str:
     """The difflib flagship, value-oracled: an independent offline referee
     (plain-Python all-pairs SequenceMatcher within blocks + union-find over
@@ -1290,13 +1334,53 @@ def _flagship_oracle() -> str:
     literal. A hash match certifies BOTH the scoring/clustering semantics and
     LSH recall 1.0 on this corpus — the referee scores every same-block pair,
     the pipeline only LSH survivors."""
-    from repostcheckerbot_spark.operators.referee import flagship_clusters_offline
-
-    rows = flagship_clusters_offline(_ORACLE_SF_DIR)
-    vals = ",\n              ".join(f"('{c}', '{k}')" for c, k in rows)
     return f"""
         SELECT conv_id, cluster_id
-        FROM (VALUES {vals}) t(conv_id, cluster_id)
+        FROM (VALUES {_referee_values()}) t(conv_id, cluster_id)
+    """
+
+
+#: planted-repost truth pairs in SQL (derivation rule of sources/testdata.py:
+#: 'd' = exact repost of 'c' for doc_id ≡ 0 (mod 7); 'n' = near repost for
+#: doc_id ≡ 0 (mod 5) excluding the former). 'c' < 'd' < 'n' lexicographically,
+#: so id_a < id_b holds by construction.
+_TRUTH_PAIRS_SQL = """
+            SELECT 'c' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS id_a,
+                   'd' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS id_b
+            FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT 'c' || lpad(CAST(doc_id AS VARCHAR), 8, '0'),
+                   'n' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+            FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0
+"""
+
+
+def _pairwise_metrics_oracle() -> str:
+    """er_pairwise_metrics stated as SQL: predicted pairs enumerated from the
+    referee clustering (VALUES literal), truth pairs from the planted-repost
+    derivation rule, counts + millionths ratios with NULLIF guards mirroring
+    the Spark side."""
+    return f"""
+        WITH ref(conv_id, cluster_id) AS (VALUES {_referee_values()}),
+        pred AS (
+          SELECT a.conv_id AS id_a, b.conv_id AS id_b
+          FROM ref a JOIN ref b
+            ON a.cluster_id = b.cluster_id AND a.conv_id < b.conv_id
+        ),
+        truth AS (
+            {_TRUTH_PAIRS_SQL}
+        ),
+        c AS (
+          SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+                 CAST((SELECT count(*) FROM pred) AS BIGINT) AS n_pred,
+                 CAST((SELECT count(*) FROM pred p JOIN truth t
+                       ON p.id_a = t.id_a AND p.id_b = t.id_b) AS BIGINT) AS n_hit
+        )
+        SELECT n_truth, n_pred, n_hit,
+               CAST(floor(n_hit * 1000000 / NULLIF(n_pred, 0)) AS BIGINT) AS precision_millionths,
+               CAST(floor(n_hit * 1000000 / NULLIF(n_truth, 0)) AS BIGINT) AS recall_millionths,
+               CAST(floor(n_hit * 2000000 / NULLIF(n_pred + n_truth, 0)) AS BIGINT) AS f1_millionths
+        FROM c
     """
 
 
@@ -2452,6 +2536,7 @@ def oracle_sql() -> dict[str, str]:
         pass
     try:
         sql["transcripts_flagship_clusters"] = _flagship_oracle()
+        sql["er_pairwise_metrics"] = _pairwise_metrics_oracle()
     except Exception:  # noqa: BLE001
         pass
     # the Manku-combination candidate scheme is recall-1.0 by the same

@@ -325,6 +325,58 @@ def phonetic_key(col) -> "F.Column":
     return F.when(F.length(u) > 0, key)
 
 
+# ------------------------------------------- pairwise clustering evaluation
+def pairwise_cluster_metrics(
+    clusters: DataFrame,
+    truth_pairs: DataFrame,
+    id_col: str = "conv_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Pairwise precision/recall/F1 of a clustering against labeled truth
+    pairs — the standard record-linkage evaluation (the acceptance metric the
+    north rule states as pairwise F1 ≥ 0.99; this makes it a first-class
+    OPERATOR with a value-hash oracle, not only a pytest gate).
+
+    ``clusters``: (id, cluster_id) assignment (singletons allowed).
+    ``truth_pairs``: (id_a, id_b) labeled duplicate pairs, id_a < id_b.
+
+    Predicted pairs are enumerated by a self-join within cluster_id —
+    quadratic in CLUSTER SIZE, which is the correct price for the pairwise
+    statistic itself (a 10⁶-member cluster has ~5·10¹¹ pairs whatever the
+    algebra). Evaluation therefore targets labeled SUBSETS at scale; for
+    monitoring whole-corpus health use cluster_size_histogram plus sampled
+    pairs instead. All counts integer; ratios floored to millionths so both
+    engines agree bit-for-bit.
+    """
+    a = clusters.select(F.col(id_col).alias("id_a"), F.col(cluster_col).alias("_c"))
+    b = clusters.select(F.col(id_col).alias("id_b"), F.col(cluster_col).alias("_c"))
+    pred = a.join(b, "_c").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    truth = truth_pairs.select("id_a", "id_b")
+    hits = pred.join(truth, ["id_a", "id_b"], "left_semi")
+    counts = (
+        pred.agg(F.count(F.lit(1)).cast("long").alias("n_pred"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).cast("long").alias("n_hit")))
+    )
+    # NULL (not error/inf) on empty denominators — mirrored by NULLIF in the
+    # oracle SQL so both engines state the degenerate case identically
+    def ratio(num, den) -> "F.Column":
+        return F.when(den > 0, F.floor(num / den)).cast("long")
+
+    precision = ratio(F.col("n_hit") * 1_000_000, F.col("n_pred"))
+    recall = ratio(F.col("n_hit") * 1_000_000, F.col("n_truth"))
+    # F1 from the raw counts (not the floored ratios): 2·hit / (pred + truth)
+    f1 = ratio(F.col("n_hit") * 2_000_000, F.col("n_pred") + F.col("n_truth"))
+    return counts.select(
+        "n_truth",
+        "n_pred",
+        "n_hit",
+        precision.alias("precision_millionths"),
+        recall.alias("recall_millionths"),
+        f1.alias("f1_millionths"),
+    )
+
+
 # ------------------------------------------------- Fellegi–Sunter EM fitting
 def agreement_pattern_counts(
     scored_pairs: DataFrame, fields: list[str]

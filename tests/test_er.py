@@ -119,6 +119,33 @@ def test_fs_equi_agreement_promotion_lossless(spark):
     assert (1, 3) in got, "non-necessary field was wrongly promoted to a join key"
 
 
+def test_pairwise_cluster_metrics_known_answer(spark):
+    """Hand-checked: clusters {a,b,c} + {d,e} + singleton f predict pairs
+    {ab, ac, bc, de}; truth {ab, ac, df} → hit {ab, ac}: precision 2/4,
+    recall 2/3, F1 2·2/(4+3). Empty-denominator guard returns NULL."""
+    from repostcheckerbot_spark.operators.er import pairwise_cluster_metrics
+
+    clusters = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("d", "d"), ("e", "d"), ("f", "f")],
+        "conv_id string, cluster_id string",
+    )
+    truth = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("d", "f")], "id_a string, id_b string"
+    )
+    row = pairwise_cluster_metrics(clusters, truth).collect()[0]
+    assert (row["n_truth"], row["n_pred"], row["n_hit"]) == (3, 4, 2)
+    assert row["precision_millionths"] == 500_000
+    assert row["recall_millionths"] == 666_666
+    assert row["f1_millionths"] == math.floor(2 * 2 * 1_000_000 / 7)
+
+    empty = spark.createDataFrame([], "id_a string, id_b string")
+    row0 = pairwise_cluster_metrics(
+        spark.createDataFrame([("x", "x")], "conv_id string, cluster_id string"), empty
+    ).collect()[0]
+    assert row0["n_pred"] == 0 and row0["precision_millionths"] is None
+    assert row0["recall_millionths"] is None
+
+
 def test_agreement_pattern_counts_null_folding(spark):
     """NULL agreement flags (missing fields) fold into False before grouping
     and colliding patterns accumulate — the EM histogram must conserve the

@@ -51,7 +51,13 @@ ALLOWED_BNLJ = {
 #: queries that EXECUTE jobs while building (full pipeline / iterative CC) —
 #: their plan discipline is asserted by their own tests (test_pipeline,
 #: test_extensions) and they are too slow to audit as a plan string here.
-SKIP = {"transcripts_flagship_clusters", "transcripts_incremental_clusters"}
+SKIP = {
+    "transcripts_flagship_clusters",
+    "transcripts_incremental_clusters",
+    # runs the flagship pipeline (jobs execute during build) — evaluation
+    # joins on top are audited via test_er's pairwise-metrics known answers
+    "er_pairwise_metrics",
+}
 
 
 def _audited_names():
