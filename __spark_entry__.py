@@ -960,6 +960,55 @@ def _q_er_pairwise_metrics(spark, sf):
     return pairwise_cluster_metrics(clusters, truth)
 
 
+def _truth_clustering(spark, sf):
+    """The planted-repost TRUTH CLUSTERING over the derived-transcript
+    universe (sources/testdata.py derivation): {cX, dX} for doc_id ≡ 0
+    (mod 7), {cX, nX} for doc_id ≡ 0 (mod 5) excluding the former, singleton
+    {cX} otherwise; cluster id = the 'c' member (lexicographic min)."""
+    ids = load(spark, sf, "documents").select("doc_id")
+    pad = F.lpad(F.col("doc_id").cast("string"), 8, "0")
+
+    def member(prefix, pred=None):
+        d = ids.where(pred) if pred is not None else ids
+        return d.select(
+            F.concat(F.lit(prefix), pad).alias("conv_id"),
+            F.concat(F.lit("c"), pad).alias("cluster_id"),
+        )
+
+    return (
+        member("c")
+        .unionByName(member("d", F.col("doc_id") % 7 == 0))
+        .unionByName(member("n", (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 7 != 0)))
+    )
+
+
+def _q_er_bcubed_metrics(spark, sf):
+    """B-cubed precision/recall/F1 + Adjusted Rand Index of the flagship
+    clustering against the planted truth clustering — the per-record
+    complement of er_pairwise_metrics (linear in cluster size, so unlike the
+    pairwise statistic it is safe to run whole-corpus at scale). Oracle:
+    the same contingency-table algebra in DuckDB over the offline referee's
+    clustering, integer throughout."""
+    from repostcheckerbot_spark.operators.er import bcubed_ari_metrics
+
+    clusters = _q_transcripts_flagship_clusters(spark, sf)
+    return bcubed_ari_metrics(clusters, _truth_clustering(spark, sf))
+
+
+def _q_sorted_neighborhood(spark, sf):
+    """Sorted-neighborhood blocking (Hernández–Stolfo merge/purge) over
+    customers ordered by (nation, account balance): window-3 neighbors are
+    the candidate pairs a numeric-similarity ER channel would score. The
+    global rank is built distributed (range partition → local rank →
+    cumulative offsets), never a single-partition window."""
+    from repostcheckerbot_spark.operators.blocking import sorted_neighborhood_pairs
+
+    cust = load(spark, sf, "customer")
+    return sorted_neighborhood_pairs(
+        cust, ["c_nationkey", "c_acctbal"], window=3, id_col="c_custkey"
+    )
+
+
 def _q_transcripts_exact_clusters(spark, sf):
     """Exact-duplicate clusters over derived transcripts (the reference's
     100%-score path): cluster = min conv_id per identical normalized doc."""
@@ -1027,6 +1076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts_flagship_clusters": _q_transcripts_flagship_clusters,
         "er_pairwise_metrics": _q_er_pairwise_metrics,
+        "er_bcubed_metrics": _q_er_bcubed_metrics,
+        "sorted_neighborhood_pairs": _q_sorted_neighborhood,
         "transcripts_exact_clusters": _q_transcripts_exact_clusters,
         "transcripts_incremental_clusters": _q_transcripts_incremental_clusters,
         "transcripts_doc_assembly": _q_transcripts_doc_assembly,
@@ -1384,6 +1435,83 @@ def _pairwise_metrics_oracle() -> str:
     """
 
 
+#: planted truth CLUSTERING in SQL (see _truth_clustering): every conv maps
+#: to the 'c' member of its planted group; non-planted convs are singletons.
+_TRUTH_CLUSTERING_SQL = """
+            SELECT 'c' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+                   'c' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS cluster_id
+            FROM documents
+            UNION ALL
+            SELECT 'd' || lpad(CAST(doc_id AS VARCHAR), 8, '0'),
+                   'c' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+            FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT 'n' || lpad(CAST(doc_id AS VARCHAR), 8, '0'),
+                   'c' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+            FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0
+"""
+
+
+def _bcubed_oracle() -> str:
+    """er_bcubed_metrics stated as SQL: the same contingency-table algebra
+    (cells → cluster sizes → floored millionth contributions → doubled
+    combinatorial sums) over the referee clustering vs the planted truth
+    clustering. DuckDB ``//`` and Spark ``div`` both truncate toward zero,
+    so every division is bit-identical across engines."""
+    return f"""
+        WITH ref(conv_id, cluster_id) AS (VALUES {_referee_values()}),
+        truth AS (
+            {_TRUTH_CLUSTERING_SQL}
+        ),
+        cells AS (
+          SELECT r.cluster_id AS pc, t.cluster_id AS tc,
+                 CAST(count(*) AS BIGINT) AS n_cell
+          FROM ref r JOIN truth t ON r.conv_id = t.conv_id
+          GROUP BY 1, 2
+        ),
+        psz AS (SELECT pc, CAST(SUM(n_cell) AS BIGINT) AS n_pc FROM cells GROUP BY 1),
+        tsz AS (SELECT tc, CAST(SUM(n_cell) AS BIGINT) AS n_tc FROM cells GROUP BY 1),
+        per AS (
+          SELECT CAST(SUM(n_cell) AS BIGINT) AS n_records,
+                 CAST(SUM((n_cell * n_cell * 1000000) // n_pc) AS BIGINT) AS sp,
+                 CAST(SUM((n_cell * n_cell * 1000000) // n_tc) AS BIGINT) AS sr,
+                 CAST(SUM(n_cell * (n_cell - 1)) AS BIGINT) AS c2
+          FROM cells JOIN psz USING (pc) JOIN tsz USING (tc)
+        ),
+        rr AS (SELECT CAST(SUM(n_pc * (n_pc - 1)) AS BIGINT) AS r2 FROM psz),
+        ss AS (SELECT CAST(SUM(n_tc * (n_tc - 1)) AS BIGINT) AS s2 FROM tsz),
+        x AS (
+          SELECT per.*, r2, s2,
+                 n_records * (n_records - 1) AS cn2,
+                 sp // NULLIF(n_records, 0) AS p6,
+                 sr // NULLIF(n_records, 0) AS r6
+          FROM per, rr, ss
+        )
+        SELECT n_records,
+               CAST(p6 AS BIGINT) AS bcubed_precision_millionths,
+               CAST(r6 AS BIGINT) AS bcubed_recall_millionths,
+               CAST((2 * p6 * r6) // NULLIF(p6 + r6, 0) AS BIGINT) AS bcubed_f1_millionths,
+               CAST((2000000 * (cn2 * c2 - r2 * s2))
+                    // NULLIF(cn2 * (r2 + s2) - 2 * r2 * s2, 0) AS BIGINT) AS ari_millionths
+        FROM x
+    """
+
+
+#: sorted-neighborhood pairs over customers (window 3, total order by
+#: nation, balance, custkey) — the naive ranked self-join IS the statement
+#: of the operator's semantics; the Spark side must reproduce it exactly
+#: from its distributed rank construction.
+_SORTED_NEIGHBORHOOD_SQL = """
+    WITH ranked AS (
+      SELECT c_custkey AS id,
+             row_number() OVER (ORDER BY c_nationkey, c_acctbal, c_custkey) AS r
+      FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b, CAST(b.r - a.r AS INT) AS rank_distance
+    FROM ranked a JOIN ranked b ON b.r > a.r AND b.r <= a.r + 2
+"""
+
+
 def _ivf_topk_ctes(cents: list[list[float]], k: int, nprobe: int, max_cell: int) -> str:
     """CTE chain stating cosine_topk_ivf as SQL over centroid LITERALS:
     nearest-centroid cell per corpus vector (sim DESC, centroid id ASC —
@@ -1557,6 +1685,7 @@ def _cosine_lsh_multi_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     sql = {
+        "sorted_neighborhood_pairs": _SORTED_NEIGHBORHOOD_SQL,
         "exact_dup_edges": f"""
             WITH n AS (SELECT doc_id, md5({_NORM}) AS h FROM documents)
             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(100.0 AS DOUBLE) AS score
@@ -2537,6 +2666,7 @@ def oracle_sql() -> dict[str, str]:
     try:
         sql["transcripts_flagship_clusters"] = _flagship_oracle()
         sql["er_pairwise_metrics"] = _pairwise_metrics_oracle()
+        sql["er_bcubed_metrics"] = _bcubed_oracle()
     except Exception:  # noqa: BLE001
         pass
     # the Manku-combination candidate scheme is recall-1.0 by the same

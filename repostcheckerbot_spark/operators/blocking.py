@@ -332,6 +332,78 @@ def blocklocal_candidates(docs: DataFrame, cfg: PipelineConfig, max_block: int =
     return small_pairs.unionByName(big_pairs), bucket_metrics
 
 
+def sorted_neighborhood_pairs(
+    records: DataFrame,
+    order_cols: list[str],
+    window: int,
+    id_col: str = "rec_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995 — the
+    classic merge/purge method, complementing the LSH channel for fields
+    where SIMILAR means NEARBY UNDER A SORT, e.g. numeric balances or dates):
+    totally order records by ``order_cols`` + ``id_col`` (the id tie-break
+    makes the order total, hence the output deterministic), slide a window
+    of ``window`` records, and emit every pair co-occurring in some window —
+    equivalently, all pairs at global-rank distance 1..window-1.
+
+    Returns (id_a, id_b, rank_distance) with id_a the earlier-ranked record.
+
+    Scale shape — the naive ``row_number() OVER (ORDER BY …)`` collapses to
+    ONE partition, so the global rank is built the distributed way:
+
+      1. ``repartitionByRange`` on the sort key (one range exchange of SLIM
+         rows: id + keys only);
+      2. per-partition ``row_number`` (range partitions are contiguous under
+         the sort, so local order is a segment of global order); the window
+         partitioner re-clusters by partition id — a second slim exchange;
+      3. partition sizes → cumulative offsets: a window over #partitions
+         rows, not the data;
+      4. global rank = local rank + broadcast offset;
+      5. pairs = equi-join on ``rank + d`` for exploded d ∈ 1..window-1 —
+         a shuffle join on dense integer keys (never a BNLJ), and windows
+         straddle range-partition boundaries for free because the join key
+         is the GLOBAL rank.
+
+    The reference's analog is the per-subreddit newest-first scan order
+    (database.py:389-405) — here the sort key is caller-chosen and the
+    neighborhood is a real blocking predicate.
+    """
+    keys = [F.col(c) for c in order_cols] + [F.col(id_col)]
+    slim = records.select(id_col, *order_cols)
+    base = (
+        slim.repartitionByRange(num_partitions, *keys)
+        if num_partitions
+        else slim.repartitionByRange(*keys)
+    )
+    from pyspark.sql import Window
+
+    part = base.withColumn("_pid", F.spark_partition_id())
+    local = part.withColumn(
+        "_lr", F.row_number().over(Window.partitionBy("_pid").orderBy(*keys))
+    )
+    sizes = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = sizes.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_off")
+    ranked = local.join(F.broadcast(offsets), "_pid").select(
+        F.col(id_col), (F.col("_lr") + F.col("_off")).alias("_rank")
+    )
+    left = ranked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_rank"),
+        F.explode(F.sequence(F.lit(1), F.lit(window - 1))).alias("rank_distance"),
+    ).withColumn("_rb", F.col("_rank") + F.col("rank_distance"))
+    right = ranked.select(F.col(id_col).alias("id_b"), F.col("_rank").alias("_rb"))
+    return left.join(right, "_rb").select("id_a", "id_b", "rank_distance")
+
+
 def generate_candidates(docs: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
     """docs → (candidate pairs, bucket skew metrics). One-stop composition
     (fused text→signature UDF; see with_signature).

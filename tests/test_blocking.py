@@ -120,3 +120,31 @@ def test_blocklocal_hybrid_candidates(spark):
 
     # no cross-block pairs ever
     assert not any(a[0] != b[0] for a, b in got)
+
+
+def test_sorted_neighborhood_pairs_known_answer(spark):
+    """4 records totally ordered x1 < x2 < y3 < z4, window 3 → all
+    rank-distance-1 and -2 pairs; forcing several range partitions proves
+    windows straddle partition boundaries (the distributed global rank is
+    what makes that work)."""
+    from repostcheckerbot_spark.operators.blocking import sorted_neighborhood_pairs
+
+    recs = spark.createDataFrame(
+        [(2, "x"), (1, "x"), (3, "y"), (4, "z")], "rec_id int, val string"
+    )
+    got = {
+        (r.id_a, r.id_b, r.rank_distance)
+        for r in sorted_neighborhood_pairs(
+            recs, ["val"], window=3, id_col="rec_id", num_partitions=3
+        ).collect()
+    }
+    assert got == {(1, 2, 1), (2, 3, 1), (3, 4, 1), (1, 3, 2), (2, 4, 2)}
+
+    # window 2 degenerates to adjacent pairs only
+    adj = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(
+            recs, ["val"], window=2, id_col="rec_id", num_partitions=2
+        ).collect()
+    }
+    assert adj == {(1, 2), (2, 3), (3, 4)}

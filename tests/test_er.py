@@ -146,6 +146,35 @@ def test_pairwise_cluster_metrics_known_answer(spark):
     assert row0["recall_millionths"] is None
 
 
+def test_bcubed_ari_metrics_known_answer(spark):
+    """Hand-checked contingency algebra: pred {a,b,c}+{d,e}+{f}, truth
+    {a,b}+{c}+{d,e,f}. Per-record B³ precision = (2/3+2/3+1/3+1+1+1)/6 =
+    0.7778; by the example's symmetry recall equals precision; ARI =
+    (2−16/15)/(4−16/15) = 0.31818."""
+    from repostcheckerbot_spark.operators.er import bcubed_ari_metrics
+
+    pred = spark.createDataFrame(
+        [("a", "A"), ("b", "A"), ("c", "A"), ("d", "D"), ("e", "D"), ("f", "F")],
+        "conv_id string, cluster_id string",
+    )
+    truth = spark.createDataFrame(
+        [("a", "T1"), ("b", "T1"), ("c", "T2"), ("d", "T3"), ("e", "T3"), ("f", "T3")],
+        "conv_id string, cluster_id string",
+    )
+    row = bcubed_ari_metrics(pred, truth).collect()[0]
+    assert row["n_records"] == 6
+    # sp = 4e6//3 + 1e6//3 + 4e6//2 + 1e6//1 = 4_666_666 → //6
+    assert row["bcubed_precision_millionths"] == 777_777
+    assert row["bcubed_recall_millionths"] == 777_777
+    assert row["bcubed_f1_millionths"] == 777_777
+    # cn2=30 c2=4 r2=8 s2=8 → 2e6·(120−64) // (30·16−128) = 112e6 // 352
+    assert row["ari_millionths"] == 318_181
+
+    ident = bcubed_ari_metrics(truth, truth).collect()[0]
+    assert ident["bcubed_f1_millionths"] == 1_000_000
+    assert ident["ari_millionths"] == 1_000_000
+
+
 def test_agreement_pattern_counts_null_folding(spark):
     """NULL agreement flags (missing fields) fold into False before grouping
     and colliding patterns accumulate — the EM histogram must conserve the

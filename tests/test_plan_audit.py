@@ -54,9 +54,10 @@ ALLOWED_BNLJ = {
 SKIP = {
     "transcripts_flagship_clusters",
     "transcripts_incremental_clusters",
-    # runs the flagship pipeline (jobs execute during build) — evaluation
-    # joins on top are audited via test_er's pairwise-metrics known answers
+    # run the flagship pipeline (jobs execute during build) — evaluation
+    # joins on top are audited via test_er's known-answer metric tests
     "er_pairwise_metrics",
+    "er_bcubed_metrics",
 }
 
 
