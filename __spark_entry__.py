@@ -236,6 +236,33 @@ def _q_fs_linkage(spark, sf):
     )
 
 
+#: thresholds (micro-bits) swept by fs_threshold_sweep — brackets the FS
+#: decision band: deep non-match, lower bound, zero, mid-band, the 5-bit
+#: production threshold, and above-everything.
+_FS_SWEEP_THRESHOLDS = [-10_000_000, -5_000_000, 0, 2_000_000, 5_000_000, 8_000_000]
+
+
+def _q_fs_threshold_sweep(spark, sf):
+    """Precision/recall curve of the Fellegi–Sunter scorer across decision
+    thresholds, against the planted variant-pair truth (rec 2k vs 2k+1 are
+    the same customer) — how the 5-bit production threshold was chosen,
+    as a first-class one-pass operator (bins, not a per-threshold scan)."""
+    from repostcheckerbot_spark.operators.er import fs_score_pairs, threshold_sweep
+
+    recs = _fs_records(spark, sf)
+    agreements = {
+        "name": F.lower(F.col("name_a")) == F.lower(F.col("name_b")),
+        "seg": F.col("seg_a") == F.col("seg_b"),
+        "bal": F.abs(F.col("bal_a") - F.col("bal_b")) < 1.0,
+    }
+    scored = fs_score_pairs(recs, ["nat"], agreements, _FS_MU)
+    labeled = scored.withColumn(
+        "is_true",
+        (F.col("rec_id_b") == F.col("rec_id_a") + 1) & (F.col("rec_id_a") % 2 == 0),
+    )
+    return threshold_sweep(labeled, _FS_SWEEP_THRESHOLDS)
+
+
 def _q_fs_decision_counts(spark, sf):
     """The Fellegi–Sunter THREE-WAY decision rule (match above the upper
     threshold, clerical-review band between, non-match below) over every
@@ -1117,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "levenshtein_pairs": _q_levenshtein_pairs,
         "token_sort_pairs": _q_token_sort_pairs,
         "fs_linkage": _q_fs_linkage,
+        "fs_threshold_sweep": _q_fs_threshold_sweep,
         "fs_decision_counts": _q_fs_decision_counts,
         "blocking_metrics": _q_blocking_metrics,
         "golden_records": _q_golden_records,
@@ -1313,6 +1341,44 @@ def _fs_decision_oracle() -> str:
                     ELSE 'non_match' END AS decision,
                count(*) AS n_pairs
         FROM pairs GROUP BY 1
+    """
+
+
+def _fs_sweep_oracle() -> str:
+    """fs_threshold_sweep stated as SQL: the scored-pair CTE, a threshold
+    VALUES literal, FILTERed counts per threshold (the oracle may afford the
+    k× cross join the Spark side's binning avoids), truncating ``//``
+    millionth ratios mirroring the Spark ``div``s."""
+    from repostcheckerbot_spark.operators.er import fs_weights
+
+    w = fs_weights(_FS_MU)
+
+    def lit(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    t_bal = f"(CASE WHEN abs(a.bal - b.bal) < 1.0 THEN {lit(w['bal'][0])} ELSE {lit(w['bal'][1])} END)"
+    t_name = f"(CASE WHEN lower(a.name) = lower(b.name) THEN {lit(w['name'][0])} ELSE {lit(w['name'][1])} END)"
+    t_seg = f"(CASE WHEN a.seg = b.seg THEN {lit(w['seg'][0])} ELSE {lit(w['seg'][1])} END)"
+    tvals = ", ".join(f"({t})" for t in _FS_SWEEP_THRESHOLDS)
+    return _fs_pairs_cte(t_bal, t_name, t_seg) + f"""
+        , t(threshold) AS (VALUES {tvals}),
+        lab AS (
+          SELECT fs_score_micros,
+                 (rec_id_b = rec_id_a + 1 AND rec_id_a % 2 = 0) AS y
+          FROM pairs
+        ),
+        agg AS (
+          SELECT t.threshold,
+                 CAST(count(*) FILTER (WHERE lab.fs_score_micros > t.threshold) AS BIGINT) AS n_pred,
+                 CAST(count(*) FILTER (WHERE lab.fs_score_micros > t.threshold AND lab.y) AS BIGINT) AS n_hit
+          FROM t CROSS JOIN lab GROUP BY 1
+        ),
+        tot AS (SELECT CAST(count(*) FILTER (WHERE y) AS BIGINT) AS n_truth FROM lab)
+        SELECT threshold, n_pred, n_hit,
+               CASE WHEN n_pred > 0 THEN (n_hit * 1000000) // n_pred END AS precision_millionths,
+               CASE WHEN n_truth > 0 THEN (n_hit * 1000000) // n_truth END AS recall_millionths,
+               CASE WHEN n_pred + n_truth > 0 THEN (n_hit * 2000000) // (n_pred + n_truth) END AS f1_millionths
+        FROM agg, tot
     """
 
 
@@ -2460,6 +2526,7 @@ def oracle_sql() -> dict[str, str]:
         # predicates, and log2(m/u) weight literals (computed once in Python,
         # embedded in both engines; CAST AS DOUBLE defeats DECIMAL parsing)
         "fs_linkage": _fs_oracle(),
+        "fs_threshold_sweep": _fs_sweep_oracle(),
         # three-way FS decision counts (match / possible / non-match) over
         # the same scored-pair CTE as fs_linkage
         "fs_decision_counts": _fs_decision_oracle(),

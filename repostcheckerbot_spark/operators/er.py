@@ -462,6 +462,83 @@ def bcubed_ari_metrics(
     )
 
 
+def threshold_sweep(
+    scored: DataFrame,
+    thresholds: list[int],
+    score_col: str = "fs_score_micros",
+    label_col: str = "is_true",
+) -> DataFrame:
+    """Precision/recall curve over candidate decision thresholds — the
+    calibration companion to the Fellegi–Sunter three-way rule: for each
+    integer threshold t, predicted matches = pairs with score > t, evaluated
+    against a boolean truth label. One row per threshold: (threshold,
+    n_pred, n_hit, precision/recall/f1 millionths).
+
+    Scale shape (pairs can be 10⁹+; thresholds are ~10):
+      1. each pair folds to a BIN = #thresholds strictly below its score —
+         a narrow projection;
+      2. one groupBy over ≤ len(thresholds)+1 bins (map-side partial agg
+         does almost all the work; the exchange moves ≤ k+1 rows);
+      3. bins explode to the thresholds they satisfy (≤ k(k+1)/2 rows) and
+         re-aggregate — the cumulative-from-the-top sum without a non-equi
+         join or a window over data;
+      4. total-truth count crossJoins in as a one-row aggregate.
+    Ratios are truncating integer divisions (``div`` / DuckDB ``//``) to
+    millionths, engine-identical.
+    """
+    ts = sorted(thresholds)
+    score = F.col(score_col)
+    bin_expr = sum(
+        (score > F.lit(t)).cast("int") for t in ts
+    )  # 0..len(ts); Python sum over Columns folds to nested +
+    binned = scored.select(
+        bin_expr.alias("_bin"), F.col(label_col).cast("long").alias("_y")
+    )
+    h = binned.groupBy("_bin").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"), F.sum("_y").alias("_t")
+    )
+    # bin b contributes to threshold indices 1..b (sequence(1, 0) would
+    # DESCEND in Spark — guard bin-0 rows to an empty array instead)
+    contrib = h.select(
+        F.explode(
+            F.when(F.col("_bin") >= 1, F.sequence(F.lit(1), F.col("_bin"))).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("_ti"),
+        "_n",
+        "_t",
+    ).groupBy("_ti").agg(
+        F.sum("_n").alias("n_pred"), F.sum("_t").alias("n_hit")
+    )
+    spark = scored.sparkSession
+    thr = spark.createDataFrame(
+        [(i + 1, int(t)) for i, t in enumerate(ts)], "_ti int, threshold long"
+    )
+    total = binned.agg(F.sum("_y").alias("_n_truth"))
+    out = (
+        thr.join(contrib, "_ti", "left")
+        .na.fill({"n_pred": 0, "n_hit": 0})
+        .crossJoin(total)
+    )
+    return out.select(
+        "threshold",
+        "n_pred",
+        "n_hit",
+        F.when(F.col("n_pred") > 0, F.expr("(n_hit * 1000000) div n_pred"))
+        .cast("long")
+        .alias("precision_millionths"),
+        F.when(F.col("_n_truth") > 0, F.expr("(n_hit * 1000000) div _n_truth"))
+        .cast("long")
+        .alias("recall_millionths"),
+        F.when(
+            F.col("n_pred") + F.col("_n_truth") > 0,
+            F.expr("(n_hit * 2000000) div (n_pred + _n_truth)"),
+        )
+        .cast("long")
+        .alias("f1_millionths"),
+    )
+
+
 # ------------------------------------------------- Fellegi–Sunter EM fitting
 def agreement_pattern_counts(
     scored_pairs: DataFrame, fields: list[str]

@@ -175,6 +175,33 @@ def test_bcubed_ari_metrics_known_answer(spark):
     assert ident["ari_millionths"] == 1_000_000
 
 
+def test_threshold_sweep_known_answer(spark):
+    """Scores 10,20,30 with labels T,F,T; thresholds 5/15/25/35. t=5 →
+    pred 3 hit 2; t=15 → pred 2 hit 1; t=25 → pred 1 hit 1; t=35 → pred 0
+    (absent bins still produce a row). n_truth = 2 throughout."""
+    from repostcheckerbot_spark.operators.er import threshold_sweep
+
+    scored = spark.createDataFrame(
+        [(10, True), (20, False), (30, True)], "fs_score_micros long, is_true boolean"
+    )
+    rows = {
+        r["threshold"]: r
+        for r in threshold_sweep(scored, [5, 15, 25, 35]).collect()
+    }
+    assert set(rows) == {5, 15, 25, 35}
+    assert (rows[5]["n_pred"], rows[5]["n_hit"]) == (3, 2)
+    assert rows[5]["precision_millionths"] == 666_666
+    assert rows[5]["recall_millionths"] == 1_000_000
+    assert rows[5]["f1_millionths"] == 800_000
+    assert (rows[15]["n_pred"], rows[15]["n_hit"]) == (2, 1)
+    assert (rows[25]["n_pred"], rows[25]["n_hit"]) == (1, 1)
+    assert rows[25]["precision_millionths"] == 1_000_000
+    assert rows[25]["recall_millionths"] == 500_000
+    assert (rows[35]["n_pred"], rows[35]["n_hit"]) == (0, 0)
+    assert rows[35]["precision_millionths"] is None
+    assert rows[35]["recall_millionths"] == 0
+
+
 def test_agreement_pattern_counts_null_folding(spark):
     """NULL agreement flags (missing fields) fold into False before grouping
     and colliding patterns accumulate — the EM histogram must conserve the

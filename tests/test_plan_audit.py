@@ -46,6 +46,10 @@ ALLOWED_BNLJ = {
     # tfidf_cosine_pairs: cross join against the ONE-ROW corpus-count
     # aggregate (the DF-cap threshold, same as ngram_jaccard).
     "tfidf_cosine_pairs",
+    # fs_threshold_sweep: cross join against the ONE-ROW total-truth
+    # aggregate (broadcast-scalar shape); the sweep itself is the tiny
+    # bin-explode equi-join, never per-threshold scans.
+    "fs_threshold_sweep",
 }
 
 #: queries that EXECUTE jobs while building (full pipeline / iterative CC) —
