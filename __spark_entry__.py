@@ -87,6 +87,19 @@ def _q_lsh_candidates(spark, sf):
     return dedup_docs.lsh_candidates_md5(load(spark, sf, "documents"), k=5, bands=2, rows_per_band=4)
 
 
+def _q_metablocking(spark, sf):
+    """Meta-blocking weight-and-prune over the md5-banded block graph
+    (4 bands × 2 rows): pairs colliding in ≥ 2 independent bands survive,
+    with CBS count + Jaccard-scheme weight. The precision lift BEFORE any
+    scorer runs — block-graph pruning, not pair scoring."""
+    from repostcheckerbot_spark.operators.blocking import metablocking_pairs
+
+    banded = dedup_docs.banded_md5(
+        load(spark, sf, "documents"), k=5, bands=4, rows_per_band=2
+    )
+    return metablocking_pairs(banded, id_col="doc_id", min_common=2)
+
+
 def _q_ngram_jaccard(spark, sf):
     # explicit opt-in to the DF cap (rare-shingle Jaccard — the scale
     # statistic; the oracle SQL mirrors the cap verbatim). The library default
@@ -1135,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "placeholder_filter_counts": _q_placeholder_filter_counts,
         "minhash_signatures": _q_minhash_signatures,
         "lsh_candidates": _q_lsh_candidates,
+        "metablocking_pairs": _q_metablocking,
         "ngram_jaccard": _q_ngram_jaccard,
         "prefix_jaccard": _q_prefix_jaccard,
         "simhash": _q_simhash,
@@ -1788,6 +1802,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
             FROM banded a JOIN banded b
               ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        """,
+        "metablocking_pairs": f"""
+            WITH {_SHINGLE5}, seeds AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS seed),
+            sig AS (
+              SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || s)) AS minhash
+              FROM sh, seeds GROUP BY doc_id, seed
+            ),
+            banded AS (
+              SELECT doc_id, seed // 2 AS band_id,
+                     md5(string_agg(minhash, ',' ORDER BY minhash)) AS band_hash
+              FROM sig GROUP BY doc_id, seed // 2
+            ),
+            common AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     CAST(count(*) AS BIGINT) AS n_common
+              FROM banded a JOIN banded b
+                ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS d FROM banded GROUP BY 1)
+            SELECT c.doc_id_a, c.doc_id_b, c.n_common,
+                   CAST((c.n_common * 1000000) // (da.d + db.d - c.n_common) AS BIGINT) AS js_millionths
+            FROM common c
+            JOIN deg da ON da.doc_id = c.doc_id_a
+            JOIN deg db ON db.doc_id = c.doc_id_b
         """,
         "ngram_jaccard": f"""
             WITH {_SHINGLE5_RARE.format(max_df_frac=dedup_docs.NGRAM_MAX_DF_FRAC, df_floor=dedup_docs.NGRAM_DF_FLOOR)},

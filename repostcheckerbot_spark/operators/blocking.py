@@ -404,6 +404,61 @@ def sorted_neighborhood_pairs(
     return left.join(right, "_rb").select("id_a", "id_b", "rank_distance")
 
 
+def metablocking_pairs(
+    assignments: DataFrame,
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("band_id", "band_hash"),
+    min_common: int = 2,
+) -> DataFrame:
+    """Meta-blocking (Papadakis et al., TKDE 2013/2014 — public technique):
+    treat block assignments as a BLOCK GRAPH, weight every co-occurring
+    record pair, and PRUNE low-weight pairs before any expensive scorer
+    runs. Weights emitted per pair:
+
+    - ``n_common`` — CBS (common-blocks scheme): how many blocks the pair
+      shares; pure count.
+    - ``js_millionths`` — the Jaccard scheme: n_common·10⁶ div
+      (|blocks_a| + |blocks_b| − n_common), truncating integer division so
+      DuckDB (``//``) states the identical value.
+
+    ``min_common ≥ 2`` is weight-threshold pruning: a pair must collide in
+    at least that many independent blocks to survive — the standard cheap
+    precision lift over raw LSH banding (colliding in 2+ of b independent
+    bands ≈ squaring the false-positive rate at mild recall cost).
+
+    Scale shape: one equi-join on the block key (same cost class as the LSH
+    candidate join — callers must cap pathological block sizes upstream,
+    e.g. banded_md5 buckets or candidate_pairs' max_band_bucket), one
+    groupBy on pair keys (replaces the candidate join's ``distinct`` — same
+    shuffle, now carrying a count), plus one groupBy(id) for per-record
+    block degrees joined back by id. No new quadratic term beyond the
+    candidate join itself.
+    """
+    keys = list(block_cols)
+    slim = assignments.select(id_col, *keys)
+    a = slim.toDF(*(["_ida"] + keys))
+    b = slim.toDF(*(["_idb"] + keys))
+    common = (
+        a.join(b, keys)
+        .where(F.col("_ida") < F.col("_idb"))
+        .groupBy("_ida", "_idb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    degrees = slim.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("_deg"))
+    out = (
+        common.join(degrees.select(F.col(id_col).alias("_ida"), F.col("_deg").alias("_da")), "_ida")
+        .join(degrees.select(F.col(id_col).alias("_idb"), F.col("_deg").alias("_db")), "_idb")
+        .select(
+            F.col("_ida").alias(f"{id_col}_a"),
+            F.col("_idb").alias(f"{id_col}_b"),
+            "n_common",
+            F.expr("(n_common * 1000000) div (_da + _db - n_common)").alias("js_millionths"),
+        )
+    )
+    return out
+
+
 def generate_candidates(docs: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
     """docs → (candidate pairs, bucket skew metrics). One-stop composition
     (fused text→signature UDF; see with_signature).

@@ -115,14 +115,14 @@ def minhash_md5(docs: DataFrame, k: int = 5, num_hashes: int = 8) -> DataFrame:
     return sig.select("doc_id", F.posexplode("sig").alias("seed", "minhash"))
 
 
-def lsh_candidates_md5(docs: DataFrame, k: int = 5, bands: int = 4, rows_per_band: int = 2) -> DataFrame:
-    """Banded LSH over the md5 MinHash: candidate (doc_id_a < doc_id_b) pairs
-    sharing at least one band bucket.
+def banded_md5(docs: DataFrame, k: int = 5, bands: int = 4, rows_per_band: int = 2) -> DataFrame:
+    """Band-bucket assignments over the md5 MinHash: one row per
+    (doc_id, band_id, band_hash).
 
     band_hash = md5 of the band's r minhashes sorted ascending, comma-joined —
     identical to the oracle's ``md5(string_agg(minhash, ',' ORDER BY
     minhash))``. Computed scan-side from the signature array (no groupBy
-    shuffle); the only wide op is the banded equi-join.
+    shuffle). Shared by the LSH candidate join and metablocking weighting.
     """
     r = rows_per_band
     sig = minhash_md5_signatures(docs, k=k, num_hashes=bands * rows_per_band)
@@ -131,9 +131,16 @@ def lsh_candidates_md5(docs: DataFrame, k: int = 5, bands: int = 4, rows_per_ban
         f" j -> struct(j as band_id,"
         f" md5(array_join(array_sort(slice(sig, j * {r} + 1, {r})), ',')) as band_hash))"
     )
-    banded = sig.select("doc_id", F.explode(F.expr(band_expr)).alias("b")).select(
+    return sig.select("doc_id", F.explode(F.expr(band_expr)).alias("b")).select(
         "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
     )
+
+
+def lsh_candidates_md5(docs: DataFrame, k: int = 5, bands: int = 4, rows_per_band: int = 2) -> DataFrame:
+    """Banded LSH over the md5 MinHash: candidate (doc_id_a < doc_id_b) pairs
+    sharing at least one band bucket. The only wide op is the banded
+    equi-join (see banded_md5)."""
+    banded = banded_md5(docs, k=k, bands=bands, rows_per_band=rows_per_band)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, ["band_id", "band_hash"])

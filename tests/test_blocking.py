@@ -148,3 +148,33 @@ def test_sorted_neighborhood_pairs_known_answer(spark):
         ).collect()
     }
     assert adj == {(1, 2), (2, 3), (3, 4)}
+
+
+def test_metablocking_pairs_known_answer(spark):
+    """r1,r2 share blocks {A,B}; r3 only in A; r4 isolated in C. At
+    min_common=2 only (1,2) survives with Jaccard weight 2/(2+2-2)=1; at
+    min_common=1 the weight separates strong from weak pairs."""
+    from repostcheckerbot_spark.operators.blocking import metablocking_pairs
+
+    assignments = spark.createDataFrame(
+        [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"), (4, "C")],
+        "doc_id int, blk string",
+    )
+    strong = metablocking_pairs(
+        assignments, id_col="doc_id", block_cols=("blk",), min_common=2
+    ).collect()
+    assert [(r.doc_id_a, r.doc_id_b, r.n_common, r.js_millionths) for r in strong] == [
+        (1, 2, 2, 1_000_000)
+    ]
+
+    weak = {
+        (r.doc_id_a, r.doc_id_b): (r.n_common, r.js_millionths)
+        for r in metablocking_pairs(
+            assignments, id_col="doc_id", block_cols=("blk",), min_common=1
+        ).collect()
+    }
+    assert weak == {
+        (1, 2): (2, 1_000_000),
+        (1, 3): (1, 500_000),
+        (2, 3): (1, 500_000),
+    }
