@@ -435,7 +435,10 @@ def metablocking_pairs(
     candidate join itself.
     """
     keys = list(block_cols)
-    slim = assignments.select(id_col, *keys)
+    # three consumers (both join sides + degrees) would re-run the caller's
+    # assignment lineage — typically a signature UDF — three times; lazy
+    # checkpoint computes it once (pipeline.py's multi-consumer pattern)
+    slim = assignments.select(id_col, *keys).localCheckpoint(eager=False)
     a = slim.toDF(*(["_ida"] + keys))
     b = slim.toDF(*(["_idb"] + keys))
     common = (
