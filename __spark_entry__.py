@@ -156,6 +156,33 @@ def _q_jaro_winkler_pairs(spark, sf):
     )
 
 
+def _q_monge_elkan_pairs(spark, sf):
+    """Monge–Elkan hybrid token scorer over 64-char lowercase document
+    prefixes (same bounded scorer-parity surface as jaro_winkler_pairs):
+    both directions plus the symmetric mean, all in floored millionths so
+    the DuckDB restatement (jaro_winkler_similarity per token pair, max per
+    token, integer mean) hashes identically."""
+    from repostcheckerbot_spark.operators.er import monge_elkan_millionths
+
+    d = (
+        load(spark, sf, "documents")
+        .where(F.col("doc_id") < 40)
+        .select("doc_id", F.lower(F.substring("text", 1, 64)).alias("t"))
+        .where(F.col("t").rlike(r"\S"))
+    )
+    a = d.select(F.col("doc_id").alias("doc_id_a"), F.col("t").alias("ta"))
+    b = d.select(F.col("doc_id").alias("doc_id_b"), F.col("t").alias("tb"))
+    p = a.join(b, F.col("doc_id_a") < F.col("doc_id_b"))
+    return p.select(
+        "doc_id_a",
+        "doc_id_b",
+        monge_elkan_millionths(F.col("ta"), F.col("tb")).alias("me_ab_millionths"),
+        monge_elkan_millionths(F.col("tb"), F.col("ta")).alias("me_ba_millionths"),
+    ).withColumn(
+        "me_sym_millionths", F.expr("(me_ab_millionths + me_ba_millionths) div 2")
+    )
+
+
 def _q_levenshtein_pairs(spark, sf):
     """Native (JVM) Levenshtein-ratio over 64-char document prefixes."""
     from repostcheckerbot_spark.operators.scoring import levenshtein_ratio
@@ -1155,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": _q_simhash_near_pairs,
         "simhash_near_pairs_manku": _q_simhash_near_pairs_manku,
         "jaro_winkler_pairs": _q_jaro_winkler_pairs,
+        "monge_elkan_pairs": _q_monge_elkan_pairs,
         "levenshtein_pairs": _q_levenshtein_pairs,
         "token_sort_pairs": _q_token_sort_pairs,
         "fs_linkage": _q_fs_linkage,
@@ -2507,6 +2535,45 @@ def oracle_sql() -> dict[str, str]:
               FROM d a JOIN d b ON a.doc_id < b.doc_id
             )
             SELECT doc_id_a, doc_id_b, jw FROM pairs WHERE jw >= 0.5
+        """,
+        "monge_elkan_pairs": r"""
+            WITH d AS (
+              SELECT doc_id, lower(substr(text, 1, 64)) AS t
+              FROM documents WHERE doc_id < 40 AND regexp_matches(lower(substr(text, 1, 64)), '\S')
+            ),
+            tok AS (
+              SELECT DISTINCT doc_id, tk
+              FROM d, unnest(string_split_regex(t, '\s+')) u(tk) WHERE tk <> ''
+            ),
+            pairs AS (SELECT a.doc_id AS da, b.doc_id AS db FROM d a JOIN d b ON a.doc_id < b.doc_id),
+            mxab AS (
+              SELECT p.da, p.db, ta.tk,
+                     max(CAST(floor(jaro_winkler_similarity(ta.tk, tb.tk) * 1000000) AS BIGINT)) AS m
+              FROM pairs p
+              JOIN tok ta ON ta.doc_id = p.da
+              JOIN tok tb ON tb.doc_id = p.db
+              GROUP BY 1, 2, 3
+            ),
+            ab AS (
+              SELECT da, db, CAST(sum(m) AS BIGINT) // CAST(count(*) AS BIGINT) AS me
+              FROM mxab GROUP BY 1, 2
+            ),
+            mxba AS (
+              SELECT p.da, p.db, tb.tk,
+                     max(CAST(floor(jaro_winkler_similarity(tb.tk, ta.tk) * 1000000) AS BIGINT)) AS m
+              FROM pairs p
+              JOIN tok tb ON tb.doc_id = p.db
+              JOIN tok ta ON ta.doc_id = p.da
+              GROUP BY 1, 2, 3
+            ),
+            ba AS (
+              SELECT da, db, CAST(sum(m) AS BIGINT) // CAST(count(*) AS BIGINT) AS me
+              FROM mxba GROUP BY 1, 2
+            )
+            SELECT ab.da AS doc_id_a, ab.db AS doc_id_b,
+                   ab.me AS me_ab_millionths, ba.me AS me_ba_millionths,
+                   (ab.me + ba.me) // 2 AS me_sym_millionths
+            FROM ab JOIN ba ON ab.da = ba.da AND ab.db = ba.db
         """,
         "levenshtein_pairs": """
             WITH d AS (

@@ -38,8 +38,10 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: tokens rarer than this absolute floor always survive the DF cap.
 TFIDF_DF_FLOOR = 5
@@ -537,6 +539,52 @@ def threshold_sweep(
         .cast("long")
         .alias("f1_millionths"),
     )
+
+
+def monge_elkan_millionths(a, b) -> "F.Column":
+    """Monge–Elkan hybrid token scorer (Monge & Elkan, KDD 1996 — the
+    classic token-level wrapper over a character-level scorer): for each
+    DISTINCT token of ``a``, take the best Jaro-Winkler match among
+    ``b``'s tokens; return the mean. Directional (a→b); symmetrize at the
+    call site.
+
+    Engine portability: each token-pair JW is floored to millionths BEFORE
+    the max (same IEEE doubles as DuckDB's ``jaro_winkler_similarity`` —
+    scoring.py's bit-parity conventions), maxima sum as integers, one
+    truncating division by the distinct-token count at the end. Tokens are
+    ASCII-whitespace splits of the lowercased text (``re.ASCII`` mirrors
+    RE2's ``\\s`` in the oracle's ``string_split_regex``); set semantics
+    (duplicates collapse).
+
+    Arrow-batched pandas UDF — the per-pair token×token loop runs in-batch;
+    like the other character scorers, cap text length at the call site and
+    run on BLOCKED candidates, never all pairs.
+    """
+    import re
+
+    from repostcheckerbot_spark.operators.scoring import _jaro_winkler
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def _toks(t: str) -> list[str]:
+        return sorted({w for w in ws.split(t.lower()) if w})
+
+    def _me(x: str | None, y: str | None) -> int | None:
+        if x is None or y is None:
+            return None
+        ta, tb = _toks(x), _toks(y)
+        if not ta or not tb:
+            return None
+        s = sum(
+            max(math.floor(_jaro_winkler(t, u) * 1_000_000) for u in tb) for t in ta
+        )
+        return s // len(ta)
+
+    @F.pandas_udf(T.LongType())
+    def me_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        return pd.Series([_me(x, y) for x, y in zip(xs, ys)], dtype="object")
+
+    return me_udf(a, b)
 
 
 # ------------------------------------------------- Fellegi–Sunter EM fitting

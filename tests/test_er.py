@@ -382,3 +382,27 @@ def test_fs_estimate_mu_empty_histogram_raises():
 
     with pytest.raises(ValueError):
         fs_estimate_mu({}, ["a"])
+
+
+def test_monge_elkan_known_answers(spark):
+    """Identical token SETS score 1.0 regardless of order/duplication; the
+    directional asymmetry is the textbook one: every token of a subset side
+    matches perfectly, the superset side averages in its unmatched token."""
+    from repostcheckerbot_spark.operators.er import monge_elkan_millionths
+
+    df = spark.createDataFrame(
+        [
+            ("alpha beta", "beta  alpha"),
+            ("aa", "aa bb"),
+            ("aa bb", "aa"),
+        ],
+        "a string, b string",
+    )
+    got = [
+        r.me
+        for r in df.select(monge_elkan_millionths(F.col("a"), F.col("b")).alias("me")).collect()
+    ]
+    assert got[0] == 1_000_000
+    assert got[1] == 1_000_000  # 'aa' finds its exact match in b
+    # tokens of a: 'aa'→1.0, 'bb'→jw('bb','aa')=0 ⇒ mean 0.5
+    assert got[2] == 500_000

@@ -40,9 +40,10 @@ ALLOWED_BNLJ = {
     # blocking_metrics: cross joins of three ONE-ROW aggregates (counts) —
     # the broadcast-scalar shape.
     "blocking_metrics",
-    # token_sort_pairs: bounded 50-doc scorer-parity surface (like
-    # jaro_winkler_pairs / levenshtein_pairs).
+    # token_sort_pairs / monge_elkan_pairs: bounded 40-50-doc scorer-parity
+    # surfaces (like jaro_winkler_pairs / levenshtein_pairs).
     "token_sort_pairs",
+    "monge_elkan_pairs",
     # tfidf_cosine_pairs: cross join against the ONE-ROW corpus-count
     # aggregate (the DF-cap threshold, same as ngram_jaccard).
     "tfidf_cosine_pairs",
