@@ -227,10 +227,20 @@ class IncrementalPipeline:
             .where(F.col("_rn") <= cfg.max_band_bucket)
             .localCheckpoint(eager=False)  # the heads aggregate materializes it
         )
-        heads = capped.where(F.col("_rn") == 1).agg(
-            F.sum("_sz").alias("pool_rows"),
-            F.sum((F.col("_sz") > cfg.max_band_bucket).cast("long")).alias("n_capped"),
+        # ONE aggregate materializes the capped pool and yields (a) the pool
+        # metrics (head rows carry the pre-cap bucket size, so summing them
+        # under a _rn==1 guard equals the old heads-only aggregate), (b) the
+        # conv_id bucket ids of every pooled row — candidate ids are drawn
+        # from pool ∪ batch, so (b) ∪ conv_buckets covers the text lookup's
+        # keys and the lookup below skips its own bucket-id collect job.
+        heads = capped.agg(
+            F.sum(F.when(F.col("_rn") == 1, F.col("_sz"))).alias("pool_rows"),
+            F.sum(
+                ((F.col("_rn") == 1) & (F.col("_sz") > cfg.max_band_bucket)).cast("long")
+            ).alias("n_capped"),
+            _b("conv_id").alias("pb"),
         ).collect()[0]
+        pool_conv_buckets = sorted(set(heads["pb"]) | set(conv_buckets))
         metrics.record_count(
             "ingest.probe_pool_bands", heads["pool_rows"] or 0, wall_s=_lap(), **pruning
         )
@@ -258,7 +268,10 @@ class IncrementalPipeline:
                 .distinct()
             )
             corpus_texts, text_pruning = self.wh.read_bucket_pruned(
-                "corpus_docs", cand_ids, "conv_id"
+                "corpus_docs",
+                cand_ids,
+                "conv_id",
+                touched=_tb("corpus_docs", pool_conv_buckets),
             )
             metrics.record_count("ingest.text_lookup", 0, wall_s=_lap(), **text_pruning)
             texts = corpus_texts.select("conv_id", "doc_sha", "norm_text").unionByName(texts)
@@ -358,18 +371,72 @@ class IncrementalPipeline:
                 touched=_tb("edges", edge_buckets),
             )
 
+        # ---- full-recompute clusters swap, hoisted INTO the persist pool ----
+        # Below the hybrid threshold the cluster update is a full CC +
+        # clusters swap (see the growth section below). Its inputs are all
+        # available BEFORE the four state writes from pre-merge state:
+        #   edges    ≡ old edges table ∪ new_edges checkpoint (exactly what
+        #              the post-merge table will contain)
+        #   vertices ≡ old clusters conv_ids ∪ batch conv_ids (the clusters
+        #              table carries one row per corpus conversation — the
+        #              invariant both growth paths and the purge janitor
+        #              maintain)
+        # and the clusters table is the ONE table none of the four persists
+        # touches, so the whole recompute runs as a FIFTH concurrent task:
+        # batch wall = max(persists, clusters swap), not their sum. The old
+        # edge files are swapped by _persist_edges mid-pool, so the union is
+        # EAGERLY checkpointed first — every CC job then reads the
+        # checkpoint, never the live files.
+        if self.wh.exists("clusters"):
+            old_n = self.wh.get_meta("clusters", "n_rows")
+            if old_n is None:
+                old_n = self.wh.read("clusters").count()
+        else:
+            old_n = -1
+        full_cc_in_pool = (
+            self.wh.exists("corpus_reps")
+            and 0 <= old_n < cfg.incremental_clusters_min_corpus
+        )
+        if full_cc_in_pool:
+            cc_edges = new_edges.select("conv_id_a", "conv_id_b")
+            if self.wh.exists("edges"):
+                cc_edges = (
+                    self.wh.read("edges").select("conv_id_a", "conv_id_b").unionByName(cc_edges)
+                )
+            cc_edges = cc_edges.localCheckpoint(eager=True)
+            cc_vertices = (
+                self.wh.read("clusters")
+                .select("conv_id")
+                .unionByName(batch_docs.select("conv_id"))
+            )
+
+            def _recompute_full() -> None:
+                # bounded by the hybrid threshold: old_n < min_corpus rows,
+                # so the driver union-find path applies (≤100k edges checked
+                # inside connected_components; above it the distributed path
+                # still only reads the checkpoint)
+                self.wh.upsert_replace(
+                    "clusters",
+                    connected_components(
+                        cc_edges, vertices=cc_vertices, max_iterations=cfg.cc_max_iterations
+                    ),
+                )
+
         if self.wh.exists("corpus_reps"):
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=4) as pool:
+            with ThreadPoolExecutor(max_workers=5) as pool:
                 f_docs = pool.submit(_persist_docs)
                 f_reps = pool.submit(_persist_reps)
                 f_bands = pool.submit(_persist_bands)
                 f_edges = pool.submit(_persist_edges)
+                f_clusters = pool.submit(_recompute_full) if full_cc_in_pool else None
                 stats = f_docs.result()
                 f_reps.result()
                 f_bands.result()
                 edge_stats = f_edges.result()
+                if f_clusters is not None:
+                    f_clusters.result()
         else:
             # legacy warehouse without the reps index: the backfill seed
             # reads the POST-merge corpus (a batch-only seed would make old
@@ -427,13 +494,11 @@ class IncrementalPipeline:
         # (vertices = all corpus docs in both paths), so the count advances by
         # n_batch per batch and by −n_deleted per purge (recompute_clusters
         # re-seeds it). Legacy warehouses without the stat count once.
-        if self.wh.exists("clusters"):
-            old_n = self.wh.get_meta("clusters", "n_rows")
-            if old_n is None:
-                old_n = self.wh.read("clusters").count()
-        else:
-            old_n = -1
-        if old_n >= cfg.incremental_clusters_min_corpus:
+        # (old_n was resolved above the persist pool; the common full-
+        # recompute case already ran there as the fifth concurrent task.)
+        if full_cc_in_pool:
+            metrics.record_count("ingest.clusters_swap", 0, wall_s=_lap(), in_pool=True)
+        elif old_n >= cfg.incremental_clusters_min_corpus:
             old_clusters = self.wh.read("clusters")
             touched = (
                 new_edges.select(F.col("conv_id_a").alias("conv_id"))

@@ -239,10 +239,13 @@ class Warehouse:
         )
         rows = merged.count()
         # per-write option — scoped to this write, unlike the session conf
-        # (a session-global toggle races with concurrent writers)
-        merged.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy(
-            "_bucket"
-        ).parquet(path)
+        # (a session-global toggle races with concurrent writers).
+        # repartition on _bucket: one task → one file per rewritten bucket
+        # (same small-file rationale as upsert_replace); the shuffle moves
+        # only the touched buckets' rows, already ∝ batch.
+        merged.repartition(F.col("_bucket")).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_bucket").parquet(path)
         return {"rows_written": rows, "buckets_touched": len(touched), "buckets_total": n_buckets}
 
     def delete_keys(
@@ -350,15 +353,24 @@ class Warehouse:
     def upsert_replace(self, table: str, df: DataFrame) -> None:
         """Atomic-enough full-table swap: write to a staging dir, rename over
         the final path (never overwrite a path mid-read). Preserves bucket
-        partitioning when the table has it."""
+        partitioning when the table has it.
+
+        Bucketed swaps repartition ON the bucket column first: without it,
+        every upstream task writes one file PER bucket value it holds
+        (measured 527 files for a 16-bucket clusters table — each later scan
+        paid the listing + footer cost), and with it each bucket is exactly
+        one task → one file. One-task-per-bucket is the warehouse's
+        parallelism contract everywhere else (the merge path rewrites whole
+        buckets too); at scale ``n_buckets`` is the knob that sizes both."""
         meta = self._read_table_meta(table)
         staged = self._path(f"_staging_{table}_{uuid.uuid4().hex[:8]}")
         w = df.write.mode("overwrite")
-        if meta.get("n_buckets") and "_bucket" in df.columns:
-            w = w.partitionBy("_bucket")
-        elif meta.get("n_buckets"):
-            df = df.withColumn("_bucket", self._bucket_col(meta["bucket_key"], int(meta["n_buckets"])))
-            w = df.write.mode("overwrite").partitionBy("_bucket")
+        if meta.get("n_buckets"):
+            if "_bucket" not in df.columns:
+                df = df.withColumn(
+                    "_bucket", self._bucket_col(meta["bucket_key"], int(meta["n_buckets"]))
+                )
+            w = df.repartition(F.col("_bucket")).write.mode("overwrite").partitionBy("_bucket")
         w.parquet(staged)
         final = self._path(table)
         if os.path.isdir(final):
