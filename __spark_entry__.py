@@ -326,6 +326,80 @@ def _q_fs_decision_counts(spark, sf):
     )
 
 
+def _q_one_to_one_assignment(spark, sf):
+    """Clean-clean 1:1 linkage: FS-score the cross-source pairs (source A =
+    even rec_ids, source B = odd) within nation blocks, then keep only
+    MUTUAL best matches (symmetric top-1, ties → smaller partner id) so each
+    record links to at most one partner — the standard post-scoring
+    assignment step real linkage pipelines run before survivorship."""
+    from repostcheckerbot_spark.operators.er import fs_score_pairs, one_to_one_matches
+
+    recs = _fs_records(spark, sf)
+    agreements = {
+        "name": F.lower(F.col("name_a")) == F.lower(F.col("name_b")),
+        "seg": F.col("seg_a") == F.col("seg_b"),
+        "bal": F.abs(F.col("bal_a") - F.col("bal_b")) < 1.0,
+    }
+    scored = fs_score_pairs(recs, ["nat"], agreements, _FS_MU)
+    # orient cross-source pairs (one even + one odd id) as A→B
+    crossed = scored.where((F.col("rec_id_a") + F.col("rec_id_b")) % 2 == 1).select(
+        F.when(F.col("rec_id_a") % 2 == 0, F.col("rec_id_a"))
+        .otherwise(F.col("rec_id_b"))
+        .alias("id_a"),
+        F.when(F.col("rec_id_a") % 2 == 0, F.col("rec_id_b"))
+        .otherwise(F.col("rec_id_a"))
+        .alias("id_b"),
+        "fs_score_micros",
+    )
+    return one_to_one_matches(
+        crossed, id_a_col="id_a", id_b_col="id_b", score_col="fs_score_micros"
+    )
+
+
+def _q_fs_tf_adjusted(spark, sf):
+    """Term-frequency-adjusted Fellegi–Sunter (Splink/Newcombe value-specific
+    u): name equality is the deterministic blocking rule; the remaining
+    score is the bal field at its constant (m,u) weights plus the SEG field
+    scored with a value-specific agreement weight log₂(m·N/n_seg) — a
+    dominant segment is weak evidence, a rare one strong. The per-value map
+    is a bounded driver collect (5 segments) embedded as literals, shared
+    with the oracle via the same Python helpers."""
+    from repostcheckerbot_spark.operators.er import fs_tf_score_pairs
+
+    recs = _fs_records(spark, sf).withColumn("nm", F.lower(F.col("name")))
+    agreements = {"bal": F.abs(F.col("bal_a") - F.col("bal_b")) < 1.0}
+    out = fs_tf_score_pairs(
+        recs,
+        ["nat", "nm"],
+        agreements,
+        {"bal": _FS_MU["bal"], "seg": _FS_MU["seg"]},
+        tf_field="seg",
+    )
+    return out.select(
+        "nat", "rec_id_a", "rec_id_b", "agree_bal", "agree_seg", "fs_score_micros"
+    )
+
+
+def _q_rule_cascade(spark, sf):
+    """Deterministic waterfall matching over the dirty record set, nation-
+    blocked: rule 0 = exact lowercased name, rule 1 = exact balance (cents),
+    rule 2 = same segment + same 100-unit balance band. Each pair carries
+    the FIRST rule that matched it (provenance for audit) — the classic
+    deterministic match-pass cascade that precedes probabilistic scoring."""
+    from repostcheckerbot_spark.operators.er import rule_cascade
+
+    recs = _fs_records(spark, sf)
+    rules = [
+        ("exact_name", F.lower(F.col("name"))),
+        ("bal_cents", F.round(F.col("bal") * 100, 0).cast("long").cast("string")),
+        (
+            "seg_balband",
+            F.concat_ws("|", F.col("seg"), F.floor(F.col("bal") / 100).cast("string")),
+        ),
+    ]
+    return rule_cascade(recs, rules, id_col="rec_id", block_cols=["nat"])
+
+
 def _q_blocking_metrics(spark, sf):
     """Blocking-quality evaluation on the dirty record set, blocked on SEG
     (which variant B flips for every third customer — so completeness is
@@ -1145,6 +1219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_pairwise_metrics": _q_er_pairwise_metrics,
         "er_bcubed_metrics": _q_er_bcubed_metrics,
         "sorted_neighborhood_pairs": _q_sorted_neighborhood,
+        "one_to_one_assignment": _q_one_to_one_assignment,
+        "fs_tf_adjusted": _q_fs_tf_adjusted,
+        "rule_cascade_matches": _q_rule_cascade,
         "transcripts_exact_clusters": _q_transcripts_exact_clusters,
         "transcripts_incremental_clusters": _q_transcripts_incremental_clusters,
         "transcripts_doc_assembly": _q_transcripts_doc_assembly,
@@ -1341,23 +1418,33 @@ allturns AS (
 """
 
 
-def _fs_oracle() -> str:
-    """Fellegi–Sunter oracle: the dirty-record CTE (same augmentation as
-    _fs_records), per-field agreement CASEs, and the log2(m/u) weight
+def _sql_double(x: float) -> str:
+    """Embed a Python double as an exact SQL literal: repr (shortest
+    round-trip digits) + CAST AS DOUBLE so DuckDB's DECIMAL literal parsing
+    cannot change the value."""
+    return f"CAST({x!r} AS DOUBLE)"
+
+
+def _fs_terms() -> tuple[str, str, str]:
+    """The three per-field FS CASE terms (bal, name, seg) with weight
     DOUBLES computed by the SAME fs_weights call the Spark side uses —
-    embedded via repr (shortest round-trip digits) and CAST AS DOUBLE so
-    DuckDB's decimal literal parsing cannot change the value. Terms sum in
-    sorted-field order (bal, name, seg), mirroring fs_score_pairs."""
+    shared by every FS-family oracle builder."""
     from repostcheckerbot_spark.operators.er import fs_weights
 
     w = fs_weights(_FS_MU)
-
-    def lit(x: float) -> str:
-        return f"CAST({x!r} AS DOUBLE)"
-
+    lit = _sql_double
     t_bal = f"(CASE WHEN abs(a.bal - b.bal) < 1.0 THEN {lit(w['bal'][0])} ELSE {lit(w['bal'][1])} END)"
     t_name = f"(CASE WHEN lower(a.name) = lower(b.name) THEN {lit(w['name'][0])} ELSE {lit(w['name'][1])} END)"
     t_seg = f"(CASE WHEN a.seg = b.seg THEN {lit(w['seg'][0])} ELSE {lit(w['seg'][1])} END)"
+    return t_bal, t_name, t_seg
+
+
+def _fs_oracle() -> str:
+    """Fellegi–Sunter oracle: the dirty-record CTE (same augmentation as
+    _fs_records), per-field agreement CASEs, and the shared weight literals
+    (_fs_terms). Terms sum in sorted-field order (bal, name, seg),
+    mirroring fs_score_pairs."""
+    t_bal, t_name, t_seg = _fs_terms()
     thr = int(_FS_THRESHOLD_BITS * 1_000_000)
     return _fs_pairs_cte(t_bal, t_name, t_seg) + f"""
         SELECT nat, rec_id_a, rec_id_b, agree_bal, agree_name, agree_seg, fs_score_micros
@@ -1367,16 +1454,7 @@ def _fs_oracle() -> str:
 
 def _fs_decision_oracle() -> str:
     """Three-way decision counts over the SAME scored-pair CTE."""
-    from repostcheckerbot_spark.operators.er import fs_weights
-
-    w = fs_weights(_FS_MU)
-
-    def lit(x: float) -> str:
-        return f"CAST({x!r} AS DOUBLE)"
-
-    t_bal = f"(CASE WHEN abs(a.bal - b.bal) < 1.0 THEN {lit(w['bal'][0])} ELSE {lit(w['bal'][1])} END)"
-    t_name = f"(CASE WHEN lower(a.name) = lower(b.name) THEN {lit(w['name'][0])} ELSE {lit(w['name'][1])} END)"
-    t_seg = f"(CASE WHEN a.seg = b.seg THEN {lit(w['seg'][0])} ELSE {lit(w['seg'][1])} END)"
+    t_bal, t_name, t_seg = _fs_terms()
     return _fs_pairs_cte(t_bal, t_name, t_seg) + """
         SELECT CASE WHEN fs_score_micros > 5000000 THEN 'match'
                     WHEN fs_score_micros > 0 THEN 'possible'
@@ -1391,16 +1469,7 @@ def _fs_sweep_oracle() -> str:
     VALUES literal, FILTERed counts per threshold (the oracle may afford the
     k× cross join the Spark side's binning avoids), truncating ``//``
     millionth ratios mirroring the Spark ``div``s."""
-    from repostcheckerbot_spark.operators.er import fs_weights
-
-    w = fs_weights(_FS_MU)
-
-    def lit(x: float) -> str:
-        return f"CAST({x!r} AS DOUBLE)"
-
-    t_bal = f"(CASE WHEN abs(a.bal - b.bal) < 1.0 THEN {lit(w['bal'][0])} ELSE {lit(w['bal'][1])} END)"
-    t_name = f"(CASE WHEN lower(a.name) = lower(b.name) THEN {lit(w['name'][0])} ELSE {lit(w['name'][1])} END)"
-    t_seg = f"(CASE WHEN a.seg = b.seg THEN {lit(w['seg'][0])} ELSE {lit(w['seg'][1])} END)"
+    t_bal, t_name, t_seg = _fs_terms()
     tvals = ", ".join(f"({t})" for t in _FS_SWEEP_THRESHOLDS)
     return _fs_pairs_cte(t_bal, t_name, t_seg) + f"""
         , t(threshold) AS (VALUES {tvals}),
@@ -1424,9 +1493,10 @@ def _fs_sweep_oracle() -> str:
     """
 
 
-def _fs_pairs_cte(t_bal: str, t_name: str, t_seg: str) -> str:
-    return f"""
-        WITH recs AS (
+#: the dirty-record relation (same augmentation as _fs_records) — shared by
+#: every FS-family oracle, the 1:1 assignment oracle, and the rule cascade
+_FS_RECS_CTE = """
+        recs AS (
           SELECT c_custkey * 2 AS rec_id, c_nationkey AS nat, c_name AS name,
                  c_mktsegment AS seg, c_acctbal AS bal
           FROM customer
@@ -1435,7 +1505,13 @@ def _fs_pairs_cte(t_bal: str, t_name: str, t_seg: str) -> str:
                  CASE WHEN c_custkey % 3 = 0 THEN 'AUTOMOBILE' ELSE c_mktsegment END,
                  c_acctbal + CASE WHEN c_custkey % 2 = 0 THEN 0.5 ELSE 0.0 END
           FROM customer
-        ),
+        )
+"""
+
+
+def _fs_pairs_cte(t_bal: str, t_name: str, t_seg: str) -> str:
+    return f"""
+        WITH {_FS_RECS_CTE.strip()},
         pairs AS (
           SELECT a.nat, a.rec_id AS rec_id_a, b.rec_id AS rec_id_b,
                  (abs(a.bal - b.bal) < 1.0) AS agree_bal,
@@ -1444,6 +1520,76 @@ def _fs_pairs_cte(t_bal: str, t_name: str, t_seg: str) -> str:
                  CAST(floor((0.0 + {t_bal} + {t_name} + {t_seg}) * 1000000) AS BIGINT) AS fs_score_micros
           FROM recs a JOIN recs b ON a.nat = b.nat AND a.rec_id < b.rec_id
         )
+    """
+
+
+def _one_to_one_oracle() -> str:
+    """1:1 assignment oracle: the SAME scored-pair CTE as fs_linkage,
+    cross-source pairs oriented even→odd, then mutual row_number()==1 on
+    both sides (score DESC, partner id ASC — integer scores, so both
+    engines' orderings are identical and total)."""
+    t_bal, t_name, t_seg = _fs_terms()
+    return _fs_pairs_cte(t_bal, t_name, t_seg) + """
+        , crossed AS (
+          SELECT CASE WHEN rec_id_a % 2 = 0 THEN rec_id_a ELSE rec_id_b END AS id_a,
+                 CASE WHEN rec_id_a % 2 = 0 THEN rec_id_b ELSE rec_id_a END AS id_b,
+                 fs_score_micros
+          FROM pairs WHERE (rec_id_a + rec_id_b) % 2 = 1
+        ),
+        rk AS (
+          SELECT id_a, id_b, fs_score_micros,
+                 row_number() OVER (PARTITION BY id_a ORDER BY fs_score_micros DESC, id_b ASC) AS ra,
+                 row_number() OVER (PARTITION BY id_b ORDER BY fs_score_micros DESC, id_a ASC) AS rb
+          FROM crossed
+        )
+        SELECT id_a, id_b, fs_score_micros FROM rk WHERE ra = 1 AND rb = 1
+    """
+
+
+def _fs_tf_oracle() -> str:
+    """TF-adjusted FS oracle: the seg value histogram is recomputed OFFLINE
+    via DuckDB over the same parquet (bounded — 5-6 segments), fed through
+    the SAME tf_value_weights helper the Spark side uses, and embedded as
+    CASE literals — the fs_weights shared-double discipline extended to
+    data-dependent weights (the _ivf_centroids offline-recompute
+    technique). Name equality is the blocking rule, stated in the join."""
+    import duckdb
+
+    from repostcheckerbot_spark.operators.er import fs_weights, tf_value_weights
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH segs AS (
+          SELECT c_mktsegment AS seg FROM '{_ORACLE_SF_DIR}/customer.parquet'
+          UNION ALL
+          SELECT CASE WHEN c_custkey % 3 = 0 THEN 'AUTOMOBILE' ELSE c_mktsegment END
+          FROM '{_ORACLE_SF_DIR}/customer.parquet'
+        )
+        SELECT seg, count(*) FROM segs WHERE seg IS NOT NULL GROUP BY seg
+        """
+    ).fetchall()
+    con.close()
+    counts = {r[0]: int(r[1]) for r in rows}
+    tfw = tf_value_weights(counts, sum(counts.values()), _FS_MU["seg"][0])
+    w = fs_weights(_FS_MU)
+    whens = " ".join(f"WHEN '{v}' THEN {_sql_double(x)}" for v, x in sorted(tfw.items()))
+    t_seg = (
+        f"(CASE WHEN a.seg = b.seg THEN (CASE a.seg {whens} END)"
+        f" ELSE {_sql_double(w['seg'][1])} END)"
+    )
+    t_bal = (
+        f"(CASE WHEN abs(a.bal - b.bal) < 1.0 THEN {_sql_double(w['bal'][0])}"
+        f" ELSE {_sql_double(w['bal'][1])} END)"
+    )
+    return f"""
+        WITH {_FS_RECS_CTE.strip()}
+        SELECT a.nat, a.rec_id AS rec_id_a, b.rec_id AS rec_id_b,
+               (abs(a.bal - b.bal) < 1.0) AS agree_bal,
+               (a.seg = b.seg) AS agree_seg,
+               CAST(floor((0.0 + {t_bal} + {t_seg}) * 1000000) AS BIGINT) AS fs_score_micros
+        FROM recs a JOIN recs b
+          ON a.nat = b.nat AND lower(a.name) = lower(b.name) AND a.rec_id < b.rec_id
     """
 
 
@@ -2633,6 +2779,35 @@ def oracle_sql() -> dict[str, str]:
         # embedded in both engines; CAST AS DOUBLE defeats DECIMAL parsing)
         "fs_linkage": _fs_oracle(),
         "fs_threshold_sweep": _fs_sweep_oracle(),
+        # 1:1 clean-clean assignment: mutual top-1 over the same scored CTE
+        "one_to_one_assignment": _one_to_one_oracle(),
+        # deterministic waterfall: per-rule equi-joins, first rule wins
+        "rule_cascade_matches": f"""
+            WITH {_FS_RECS_CTE.strip()},
+            k0 AS (SELECT nat, rec_id, lower(name) AS k FROM recs),
+            k1 AS (SELECT nat, rec_id,
+                          CAST(CAST(round(bal * 100, 0) AS BIGINT) AS VARCHAR) AS k
+                   FROM recs),
+            k2 AS (SELECT nat, rec_id,
+                          seg || '|' || CAST(CAST(floor(bal / 100) AS BIGINT) AS VARCHAR) AS k
+                   FROM recs),
+            allp AS (
+              SELECT a.rec_id AS id_a, b.rec_id AS id_b, 0 AS rule_idx
+              FROM k0 a JOIN k0 b ON a.nat = b.nat AND a.k = b.k AND a.rec_id < b.rec_id
+              UNION ALL
+              SELECT a.rec_id, b.rec_id, 1
+              FROM k1 a JOIN k1 b ON a.nat = b.nat AND a.k = b.k AND a.rec_id < b.rec_id
+              UNION ALL
+              SELECT a.rec_id, b.rec_id, 2
+              FROM k2 a JOIN k2 b ON a.nat = b.nat AND a.k = b.k AND a.rec_id < b.rec_id
+            ),
+            first AS (SELECT id_a, id_b, min(rule_idx) AS rule_idx FROM allp GROUP BY 1, 2)
+            SELECT id_a, id_b, rule_idx,
+                   CASE rule_idx WHEN 0 THEN 'exact_name'
+                                 WHEN 1 THEN 'bal_cents'
+                                 ELSE 'seg_balband' END AS rule
+            FROM first
+        """,
         # three-way FS decision counts (match / possible / non-match) over
         # the same scored-pair CTE as fs_linkage
         "fs_decision_counts": _fs_decision_oracle(),
@@ -2834,6 +3009,10 @@ def oracle_sql() -> dict[str, str]:
     try:
         sql["cosine_topk_ivf"] = _ivf_oracle()
         sql["ann_recall_ivf"] = _ivf_recall_oracle()
+    except Exception:  # noqa: BLE001 — missing/corrupt local testdata only
+        pass
+    try:
+        sql["fs_tf_adjusted"] = _fs_tf_oracle()
     except Exception:  # noqa: BLE001 — missing/corrupt local testdata only
         pass
     try:

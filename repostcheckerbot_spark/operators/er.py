@@ -541,6 +541,191 @@ def threshold_sweep(
     )
 
 
+# --------------------------------------------------------- 1:1 assignment
+def one_to_one_matches(
+    scored: DataFrame,
+    id_a_col: str = "rec_id_a",
+    id_b_col: str = "rec_id_b",
+    score_col: str = "fs_score_micros",
+) -> DataFrame:
+    """Mutual-best-match (symmetric top-1) assignment over scored candidate
+    pairs — the classic clean-clean linkage post-step: after probabilistic
+    scoring, each left record may match AT MOST one right record and vice
+    versa. A pair survives iff it is the best-scoring candidate for BOTH of
+    its endpoints (ties broken deterministically: higher score first, then
+    smaller partner id), which yields a 1:1 partial matching without the
+    driver-side Hungarian solve no cluster could afford.
+
+    Mutual-top-1 is the standard scalable heuristic, not a maximum-weight
+    matching — a record whose best partner prefers someone else stays
+    unmatched rather than cascading to its second choice (greedy cascades
+    are inherently sequential; this operator is one pass, stated exactly).
+
+    Shape: two row_number windows, each one hash-shuffle on an id column —
+    both near-uniform keys (a record has at most its candidate count of
+    rows), safe at 100 TB. Input must already be blocked/scored (the pair
+    space is the caller's problem, as everywhere in this module).
+    """
+    wa = Window.partitionBy(id_a_col).orderBy(
+        F.col(score_col).desc(), F.col(id_b_col).asc()
+    )
+    wb = Window.partitionBy(id_b_col).orderBy(
+        F.col(score_col).desc(), F.col(id_a_col).asc()
+    )
+    return (
+        scored.withColumn("_ra", F.row_number().over(wa))
+        .withColumn("_rb", F.row_number().over(wb))
+        .where((F.col("_ra") == 1) & (F.col("_rb") == 1))
+        .drop("_ra", "_rb")
+    )
+
+
+# ------------------------------------------- term-frequency adjusted weights
+def tf_value_weights(
+    value_counts: dict[str, int], total: int, m: float
+) -> dict[str, float]:
+    """Value-specific agreement weights for a term-frequency-adjusted field:
+    w(v) = log₂(m · N / n_v) — the Newcombe/Winkler value-specific-u
+    refinement (u_v = n_v/N estimates the chance two random records share
+    value v): agreeing on a RARE value is strong evidence, agreeing on a
+    value half the corpus carries is weak. Pure Python so Spark and the
+    DuckDB oracle embed the IDENTICAL double literals (the fs_weights
+    discipline)."""
+    return {v: math.log2(m * total / n) for v, n in value_counts.items()}
+
+
+def collect_value_histogram(
+    records: DataFrame, field: str, max_distinct: int = 10_000
+) -> tuple[dict[str, int], int]:
+    """Bounded driver collect of a field's value histogram for TF weighting
+    (cardinality-capped, same discipline as the 2^F agreement-pattern
+    histogram). Raises if the field exceeds ``max_distinct`` — a
+    high-cardinality field (names at 10⁸ distinct) must keep its TF table
+    distributed instead: join the (value, n) DataFrame and compute the
+    weight in-engine (with the documented float-log boundary risk), never
+    collect it."""
+    rows = (
+        records.where(F.col(field).isNotNull())
+        .groupBy(field)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .limit(max_distinct + 1)
+        .collect()
+    )
+    if len(rows) > max_distinct:
+        raise ValueError(
+            f"{field!r} exceeds max_distinct={max_distinct}; keep its TF table distributed"
+        )
+    counts = {r[field]: int(r["n"]) for r in rows}
+    return counts, sum(counts.values())
+
+
+def fs_tf_score_pairs(
+    records: DataFrame,
+    block_cols: list[str],
+    agreements: dict[str, "F.Column"],
+    mu: dict[str, tuple[float, float]],
+    tf_field: str,
+    id_col: str = "rec_id",
+    max_distinct: int = 10_000,
+) -> DataFrame:
+    """Fellegi–Sunter scoring with ONE term-frequency-adjusted field: every
+    field in ``agreements`` scores with the constant (m,u) log-weights of
+    :func:`fs_score_pairs`, while ``tf_field`` (compared by plain equality)
+    scores agreement with the value-specific weight log₂(m·N/n_v) from
+    :func:`tf_value_weights` and disagreement with the constant
+    log₂((1−m)/(1−u)). This is the public Splink/Newcombe TF-adjustment
+    construction: frequent values (a dominant market segment, a common
+    surname) stop masquerading as match evidence.
+
+    The per-value weight map is collected once on the driver (bounded by
+    ``max_distinct``) and embedded as a literal CASE map — engine-exact
+    micros, shared with the oracle through the same Python helpers. Join
+    shape is identical to fs_score_pairs (equi-join on ``block_cols``).
+    """
+    counts, total = collect_value_histogram(records, tf_field, max_distinct)
+    weights = fs_weights(mu)
+    tf_w = tf_value_weights(counts, total, mu[tf_field][0])
+
+    others = [c for c in records.columns if c not in block_cols]
+    a = records.select(*block_cols, *[F.col(c).alias(f"{c}_a") for c in others])
+    b = records.select(*block_cols, *[F.col(c).alias(f"{c}_b") for c in others])
+    pairs = a.join(b, block_cols).where(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+
+    score = F.lit(0.0)
+    flags = []
+    for f in sorted(agreements):
+        wa, wd = weights[f]
+        agree = agreements[f]
+        flags.append(agree.alias(f"agree_{f}"))
+        score = score + F.when(agree, F.lit(wa)).otherwise(F.lit(wd))
+    # the TF field: value-specific agreement weight via a literal map on the
+    # _a value (a == b when agreeing, so either side works), constant
+    # disagreement weight
+    tf_map = F.create_map(
+        *[x for v, w in sorted(tf_w.items()) for x in (F.lit(v), F.lit(w))]
+    )
+    tf_agree = F.col(f"{tf_field}_a") == F.col(f"{tf_field}_b")
+    flags.append(tf_agree.alias(f"agree_{tf_field}"))
+    score = score + F.when(tf_agree, tf_map[F.col(f"{tf_field}_a")]).otherwise(
+        F.lit(weights[tf_field][1])
+    )
+    return pairs.select(
+        *block_cols,
+        f"{id_col}_a",
+        f"{id_col}_b",
+        *flags,
+        F.floor(score * 1_000_000).cast("long").alias("fs_score_micros"),
+    )
+
+
+# ----------------------------------------------------- deterministic cascade
+def rule_cascade(
+    records: DataFrame,
+    rules: list[tuple[str, "F.Column"]],
+    id_col: str = "rec_id",
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic waterfall matching: an ORDERED list of match rules,
+    each a per-record key expression; rule i pairs records sharing a
+    non-null key_i (within ``block_cols`` if given), and every pair is
+    attributed to the FIRST rule that fires — the classic deterministic
+    "match pass" cascade that precedes (or replaces) probabilistic scoring
+    in MDM pipelines, with rule provenance kept for audit.
+
+    Returns (id_a, id_b, rule_idx, rule) with id_a < id_b, one row per
+    matched pair. Shape: one equi-self-join per rule (each bounded by its
+    key-group sizes — the caller owns key selectivity exactly as with
+    blocking keys), one union, one groupBy(pair) taking the minimum
+    (rule_idx, rule) struct. All joins are key-equality; nothing quadratic
+    beyond the per-key groups; all-integer/string algebra (oracle-exact).
+    """
+    blk = list(block_cols or [])
+    outs = []
+    for i, (name, keyexpr) in enumerate(rules):
+        k = records.withColumn("_k", keyexpr).where(F.col("_k").isNotNull())
+        a = k.select(*blk, F.col(id_col).alias("id_a"), "_k")
+        b = k.select(*blk, F.col(id_col).alias("id_b"), "_k")
+        outs.append(
+            a.join(b, [*blk, "_k"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.lit(i).alias("rule_idx"),
+                F.lit(name).alias("rule"),
+            )
+        )
+    allp = outs[0]
+    for o in outs[1:]:
+        allp = allp.unionByName(o)
+    first = allp.groupBy("id_a", "id_b").agg(
+        F.min(F.struct("rule_idx", "rule")).alias("_m")
+    )
+    return first.select(
+        "id_a", "id_b", F.col("_m.rule_idx").alias("rule_idx"), F.col("_m.rule").alias("rule")
+    )
+
+
 def monge_elkan_millionths(a, b) -> "F.Column":
     """Monge–Elkan hybrid token scorer (Monge & Elkan, KDD 1996 — the
     classic token-level wrapper over a character-level scorer): for each

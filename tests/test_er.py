@@ -406,3 +406,134 @@ def test_monge_elkan_known_answers(spark):
     assert got[1] == 1_000_000  # 'aa' finds its exact match in b
     # tokens of a: 'aa'→1.0, 'bb'→jw('bb','aa')=0 ⇒ mean 0.5
     assert got[2] == 500_000
+
+
+# --------------------------------------------------------- 1:1 assignment
+def test_one_to_one_matches_mutual_best_and_ties(spark):
+    """A pair survives iff it is top-1 for BOTH endpoints; ties break to the
+    smaller partner id; every output id appears at most once per side."""
+    from repostcheckerbot_spark.operators.er import one_to_one_matches
+
+    scored = spark.createDataFrame(
+        [
+            # a1's best is b1 (9) and b1's best is a1 → kept
+            (1, 101, 9),
+            (1, 102, 5),
+            # a2's best is b1 (8) but b1 prefers a1 → a2 unmatched (no cascade)
+            (2, 101, 8),
+            # a3/b3: tie scores 7 with b4 — smaller partner id wins both ways
+            (3, 103, 7),
+            (3, 104, 7),
+            (4, 103, 7),
+        ],
+        "rec_id_a long, rec_id_b long, fs_score_micros long",
+    )
+    got = {
+        (r.rec_id_a, r.rec_id_b)
+        for r in one_to_one_matches(scored).collect()
+    }
+    # a3 ties b103/b104 → picks 103; b103 ties a3/a4 → picks 3: mutual
+    assert got == {(1, 101), (3, 103)}
+    rows = one_to_one_matches(scored).collect()
+    assert len({r.rec_id_a for r in rows}) == len(rows)
+    assert len({r.rec_id_b for r in rows}) == len(rows)
+
+
+# ------------------------------------------- term-frequency adjusted weights
+def test_tf_value_weights_rarity_monotone():
+    """Rarer value ⇒ strictly larger agreement weight; formula is
+    log2(m·N/n_v) exactly."""
+    from repostcheckerbot_spark.operators.er import tf_value_weights
+
+    w = tf_value_weights({"common": 900, "rare": 100}, 1000, m=0.9)
+    assert w["rare"] > w["common"]
+    assert abs(w["rare"] - math.log2(0.9 * 1000 / 100)) < 1e-12
+    assert abs(w["common"] - math.log2(0.9 * 1000 / 900)) < 1e-12
+
+
+def test_collect_value_histogram_cap_raises(spark):
+    from pytest import raises
+
+    from repostcheckerbot_spark.operators.er import collect_value_histogram
+
+    df = spark.range(100).select(F.col("id").cast("string").alias("v"))
+    with raises(ValueError):
+        collect_value_histogram(df, "v", max_distinct=10)
+    counts, total = collect_value_histogram(df, "v", max_distinct=100)
+    assert total == 100 and len(counts) == 100
+
+
+def test_fs_tf_score_pairs_value_specific_weights(spark):
+    """Agreement on the RARE value outscores agreement on the common one;
+    disagreement uses the constant baseline weight."""
+    from repostcheckerbot_spark.operators.er import (
+        fs_tf_score_pairs,
+        fs_weights,
+        tf_value_weights,
+    )
+
+    recs = spark.createDataFrame(
+        [
+            (1, 0, "x", "rare"),
+            (2, 0, "x", "rare"),
+            (3, 0, "x", "common"),
+            (4, 0, "x", "common"),
+            (5, 0, "x", "common"),
+            (6, 0, "x", "common"),
+            (7, 0, "y", "common"),
+            (8, 0, "y", "other"),
+        ],
+        "rec_id long, blk int, f string, seg string",
+    )
+    mu = {"f": (0.9, 0.1), "seg": (0.9, 0.2)}
+    out = fs_tf_score_pairs(
+        recs,
+        ["blk"],
+        {"f": F.col("f_a") == F.col("f_b")},
+        mu,
+        tf_field="seg",
+    ).collect()
+    by_pair = {(r.rec_id_a, r.rec_id_b): r.fs_score_micros for r in out}
+    w = fs_weights(mu)
+    tfw = tf_value_weights({"rare": 2, "common": 5, "other": 1}, 8, 0.9)
+    exp_rare = math.floor((w["f"][0] + tfw["rare"]) * 1_000_000)
+    exp_common = math.floor((w["f"][0] + tfw["common"]) * 1_000_000)
+    exp_dis = math.floor((w["f"][0] + w["seg"][1]) * 1_000_000)
+    assert by_pair[(1, 2)] == exp_rare
+    assert by_pair[(3, 4)] == exp_common
+    assert exp_rare > exp_common
+    assert by_pair[(1, 3)] == exp_dis  # seg disagrees → constant baseline
+    # the agree flag is present and correct
+    flags = {(r.rec_id_a, r.rec_id_b): r.agree_seg for r in out}
+    assert flags[(1, 2)] is True and flags[(1, 3)] is False
+
+
+# ----------------------------------------------------- deterministic cascade
+def test_rule_cascade_first_rule_wins(spark):
+    """Pairs matched by several rules carry the FIRST (lowest-index) rule;
+    null keys never pair; cross-block pairs never meet."""
+    from repostcheckerbot_spark.operators.er import rule_cascade
+
+    recs = spark.createDataFrame(
+        [
+            (1, 0, "ann", "k1"),
+            (2, 0, "ann", "k1"),   # rules 0 AND 1 → attributed to 0
+            (3, 0, "bob", "k1"),   # rule 1 only (with 1, 2)
+            (4, 0, None, "zz"),    # null rule-0 key → only rule 1 can pair it
+            (5, 0, None, "zz"),
+            (6, 1, "ann", "k1"),   # other block — never paired
+        ],
+        "rec_id long, blk int, name string, code string",
+    )
+    out = rule_cascade(
+        recs,
+        [("by_name", F.col("name")), ("by_code", F.col("code"))],
+        block_cols=["blk"],
+    ).collect()
+    got = {(r.id_a, r.id_b): (r.rule_idx, r.rule) for r in out}
+    assert got[(1, 2)] == (0, "by_name")
+    assert got[(1, 3)] == (1, "by_code")
+    assert got[(2, 3)] == (1, "by_code")
+    assert got[(4, 5)] == (1, "by_code")
+    assert all(6 not in pair for pair in got)
+    assert len(got) == 4
