@@ -1160,6 +1160,43 @@ def _q_transcripts_exact_clusters(spark, sf):
     return docs.join(reps, "doc_sha").select("conv_id", "cluster_id")
 
 
+def _q_star_clusters_simhash(spark, sf):
+    """One-hop star clustering over the simhash near-dup graph — the
+    diameter-bounded (precision-end) companion to connected components:
+    chains never merge, every member is one hop from its center. Singleton
+    docs (no near-dup edge) cluster as themselves."""
+    from repostcheckerbot_spark.operators.clustering import star_clusters
+
+    d = load(spark, sf, "documents")
+    edges = dedup_docs.simhash_near_pairs(d, max_hamming=8)
+    return star_clusters(
+        edges,
+        id_a_col="doc_id_a",
+        id_b_col="doc_id_b",
+        vertices=d.select("doc_id"),
+        out_col="doc_id",
+    )
+
+
+def _q_cluster_churn(spark, sf):
+    """Cluster-churn report: the exact-duplicate clustering (old) vs the
+    full fuzzy flagship clustering (new) — per-record stable/moved counts.
+    The fuzzy channel pulls each near-repost ('n…' conv) into its source
+    cluster, so 'moved' counts exactly the records the difflib channel
+    reassigns; both clusterings cover the same universe, so added/removed
+    are structurally absent. The operator itself is the post-batch
+    monitoring join every incremental ER deployment runs."""
+    from repostcheckerbot_spark.operators.clustering import cluster_diff
+
+    old = _q_transcripts_exact_clusters(spark, sf)
+    new = _q_transcripts_flagship_clusters(spark, sf)
+    return (
+        cluster_diff(old, new)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_records"))
+    )
+
+
 def _q_cluster_size_histogram(spark, sf):
     """ER reporting: the distribution of duplicate-cluster sizes over the
     exact-content clusters of the derived transcripts (size 1 = unique doc)."""
@@ -1222,6 +1259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "one_to_one_assignment": _q_one_to_one_assignment,
         "fs_tf_adjusted": _q_fs_tf_adjusted,
         "rule_cascade_matches": _q_rule_cascade,
+        "star_clusters_simhash": _q_star_clusters_simhash,
+        "cluster_churn_counts": _q_cluster_churn,
         "transcripts_exact_clusters": _q_transcripts_exact_clusters,
         "transcripts_incremental_clusters": _q_transcripts_incremental_clusters,
         "transcripts_doc_assembly": _q_transcripts_doc_assembly,
@@ -1629,6 +1668,35 @@ def _referee_values() -> str:
 
 
 _REFEREE_VALUES_CACHE: str | None = None
+
+
+def _cluster_churn_oracle() -> str:
+    """Churn counts between the exact clustering (stated in SQL) and the
+    flagship clustering (the offline referee's relation, embedded as a
+    VALUES literal): full-outer join on conv_id, CASE status, counts."""
+    return f"""
+        WITH {_TRANSCRIPT_FULL_CTE.strip()},
+        docs2 AS (
+          SELECT conv_id,
+                 md5(regexp_replace(string_agg(turn_text, chr(10) ORDER BY turn_idx), '\\s+', '', 'g')) AS h
+          FROM allturns
+          WHERE turn_text NOT IN ('&#x200B;', '', '[removed]', '[deleted]')
+          GROUP BY conv_id
+        ),
+        reps AS (SELECT h, min(conv_id) AS cluster_id FROM docs2 GROUP BY h),
+        oldc AS (SELECT d.conv_id, r.cluster_id FROM docs2 d JOIN reps r ON r.h = d.h),
+        newc AS (
+          SELECT conv_id, cluster_id
+          FROM (VALUES {_referee_values()}) t(conv_id, cluster_id)
+        )
+        SELECT status, CAST(count(*) AS BIGINT) AS n_records FROM (
+          SELECT CASE WHEN o.conv_id IS NULL THEN 'added'
+                      WHEN n.conv_id IS NULL THEN 'removed'
+                      WHEN o.cluster_id = n.cluster_id THEN 'stable'
+                      ELSE 'moved' END AS status
+          FROM oldc o FULL OUTER JOIN newc n ON o.conv_id = n.conv_id
+        ) GROUP BY status
+    """
 
 
 def _flagship_oracle() -> str:
@@ -2978,6 +3046,37 @@ def oracle_sql() -> dict[str, str]:
             reps AS (SELECT h, min(conv_id) AS cluster_id FROM docs2 GROUP BY h)
             SELECT d.conv_id, r.cluster_id FROM docs2 d JOIN reps r ON r.h = d.h
         """,
+        # one-hop min-id star clustering over the simhash near-dup graph:
+        # centers = min-id local minima, members join their smallest center
+        # neighbor, chain tails stay singletons; edge-free docs self-cluster
+        "star_clusters_simhash": f"""
+            WITH edges AS ({_SIMHASH_PAIRS_SQL}),
+            e AS (
+              SELECT doc_id_a AS src, doc_id_b AS dst FROM edges
+              UNION
+              SELECT doc_id_b, doc_id_a FROM edges
+            ),
+            agg AS (SELECT src, min(dst) AS min_nbr FROM e GROUP BY src),
+            centers AS (SELECT src AS center FROM agg WHERE min_nbr > src),
+            members AS (
+              SELECT e.src, min(e.dst) AS cluster_id
+              FROM e JOIN centers c ON e.dst = c.center GROUP BY e.src
+            ),
+            leftover AS (
+              SELECT src FROM agg
+              WHERE src NOT IN (SELECT center FROM centers)
+                AND src NOT IN (SELECT src FROM members)
+            ),
+            clustered AS (
+              SELECT center AS doc_id, center AS cluster_id FROM centers
+              UNION ALL SELECT src, cluster_id FROM members
+              UNION ALL SELECT src, src FROM leftover
+            )
+            SELECT doc_id, cluster_id FROM clustered
+            UNION ALL
+            SELECT d.doc_id, d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM clustered)
+        """,
         # ER reporting: duplicate-cluster size distribution + transitivity
         # triangles over the simhash near-dup graph
         "cluster_size_histogram": f"""
@@ -3019,6 +3118,7 @@ def oracle_sql() -> dict[str, str]:
         sql["transcripts_flagship_clusters"] = _flagship_oracle()
         sql["er_pairwise_metrics"] = _pairwise_metrics_oracle()
         sql["er_bcubed_metrics"] = _bcubed_oracle()
+        sql["cluster_churn_counts"] = _cluster_churn_oracle()
     except Exception:  # noqa: BLE001
         pass
     # the Manku-combination candidate scheme is recall-1.0 by the same

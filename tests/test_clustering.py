@@ -100,3 +100,79 @@ def test_driver_and_distributed_paths_identical(spark):
     s = {r.conv_id: r.cluster_id for r in slow.collect()}
     assert f == s
     assert f == {"b": "b", "c": "b", "d": "b", "x": "x", "y": "x", "z": "x", "p": "p", "q": "p", "s": "s"}
+
+
+def test_star_clusters_chain_and_hub(spark):
+    """Chain a-b-c: a is the center, b joins it, c splits off as a singleton
+    (the diameter bound); a hub with two leaves keeps all three together;
+    every member is one hop from its center."""
+    from repostcheckerbot_spark.operators.clustering import star_clusters
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("h", "x"), ("h", "y"), ("p", "q")],
+        "conv_id_a string, conv_id_b string",
+    )
+    verts = spark.createDataFrame([(v,) for v in "abchxypqs"], "conv_id string")
+    got = {
+        r.conv_id: r.cluster_id
+        for r in star_clusters(edges, vertices=verts).collect()
+    }
+    assert got == {
+        "a": "a", "b": "a", "c": "c",   # chain splits at c
+        "h": "h", "x": "h", "y": "h",   # hub (h < x,y so h is the center)
+        "p": "p", "q": "p",
+        "s": "s",                        # edge-free vertex self-clusters
+    }
+
+
+def test_star_clusters_refine_connected_components(spark):
+    """On random graphs every star cluster is contained in one CC component
+    (star refines CC), members are adjacent to their center, and the
+    assignment covers every vertex exactly once."""
+    import random
+
+    from repostcheckerbot_spark.operators.clustering import (
+        connected_components,
+        star_clusters,
+    )
+
+    rng = random.Random(7)
+    nodes = [f"v{i:03d}" for i in range(60)]
+    edges = sorted({
+        tuple(sorted(rng.sample(nodes, 2))) for _ in range(80)
+    })
+    e = spark.createDataFrame(edges, "conv_id_a string, conv_id_b string")
+    v = spark.createDataFrame([(x,) for x in nodes], "conv_id string")
+    star = {r.conv_id: r.cluster_id for r in star_clusters(e, vertices=v).collect()}
+    cc = {r.conv_id: r.cluster_id for r in connected_components(e, vertices=v).collect()}
+    assert set(star) == set(nodes)
+    nbr: dict[str, set] = {}
+    for a, b in edges:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    for node, center in star.items():
+        # refinement: same star cluster ⇒ same CC component
+        assert cc[node] == cc[center]
+        # one-hop property: non-center members are adjacent to their center
+        if center != node:
+            assert center in nbr[node]
+            # and the center really is a local min-id
+            assert min(nbr[center]) > center
+
+
+def test_cluster_diff_statuses(spark):
+    from repostcheckerbot_spark.operators.clustering import cluster_diff
+
+    old = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c"), ("gone", "gone")],
+        "conv_id string, cluster_id string",
+    )
+    new = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("fresh", "fresh")],
+        "conv_id string, cluster_id string",
+    )
+    got = {r.conv_id: r.status for r in cluster_diff(old, new).collect()}
+    assert got == {
+        "a": "stable", "b": "stable", "c": "moved",
+        "gone": "removed", "fresh": "added",
+    }
