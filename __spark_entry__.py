@@ -109,6 +109,15 @@ def _q_ngram_jaccard(spark, sf):
     )
 
 
+def _q_ngram_containment(spark, sf):
+    """Asymmetric k-gram containment join (|A∩B|/|A| — the subset/quotation
+    detector): exact statistic, both directions ≥ 0.4, pure-integer
+    millionths."""
+    return dedup_docs.ngram_containment_pairs(
+        load(spark, sf, "documents"), k=5, min_containment=0.4, max_df_frac=None
+    )
+
+
 def _q_prefix_jaccard(spark, sf):
     """PPJoin-style prefix-filtered EXACT Jaccard join — the oracle states
     the naive exact statistic with no prefix optimization; recall 1.0 means
@@ -1071,10 +1080,21 @@ def _q_transcripts_doc_assembly(spark, sf):
     )
 
 
+#: flagship clusters memo — four queries consume the flagship clustering
+#: (the clustering itself, pairwise/B³ metrics, churn) and run_batch pays
+#: its difflib+LSH work at BUILD time (the CC edge-sizing collect), so
+#: without a memo the harness sweep runs the whole pipeline 4×. Keyed by
+#: (session id, sf dir); the cached plan sits on session-lifetime lazy
+#: localCheckpoints, so reuse is sound within a session.
+_FLAGSHIP_CLUSTERS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _q_transcripts_flagship_clusters(spark, sf):
-    tr = transcripts_from_documents(spark, sf)
-    res = run_batch(tr, PipelineConfig())
-    return res.clusters
+    key = (id(spark), sf)
+    if key not in _FLAGSHIP_CLUSTERS_CACHE:
+        tr = transcripts_from_documents(spark, sf)
+        _FLAGSHIP_CLUSTERS_CACHE[key] = run_batch(tr, PipelineConfig()).clusters
+    return _FLAGSHIP_CLUSTERS_CACHE[key]
 
 
 def _q_er_pairwise_metrics(spark, sf):
@@ -1259,6 +1279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "one_to_one_assignment": _q_one_to_one_assignment,
         "fs_tf_adjusted": _q_fs_tf_adjusted,
         "rule_cascade_matches": _q_rule_cascade,
+        "fs_threshold_sweep": _q_fs_threshold_sweep,
+        "ngram_containment": _q_ngram_containment,
         "star_clusters_simhash": _q_star_clusters_simhash,
         "cluster_churn_counts": _q_cluster_churn,
         "transcripts_exact_clusters": _q_transcripts_exact_clusters,
@@ -1302,7 +1324,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "levenshtein_pairs": _q_levenshtein_pairs,
         "token_sort_pairs": _q_token_sort_pairs,
         "fs_linkage": _q_fs_linkage,
-        "fs_threshold_sweep": _q_fs_threshold_sweep,
         "fs_decision_counts": _q_fs_decision_counts,
         "blocking_metrics": _q_blocking_metrics,
         "golden_records": _q_golden_records,
@@ -2809,6 +2830,33 @@ def oracle_sql() -> dict[str, str]:
         # statistic (full inverted-index join, no prefix filter) — recall 1.0
         # of the optimized plan is what the hash match proves. All-integer
         # accept test (n_inter·1e6 ≥ t_micros·union).
+        # asymmetric k-gram containment: exact statistic, both ordered
+        # directions, truncating integer millionths (no float anywhere)
+        "ngram_containment": f"""
+            WITH {_SHINGLE5.strip()},
+            dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_i
+              FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            bd AS (
+              SELECT i.da, i.db, i.n_i, sa.n_sh AS n_a, sb.n_sh AS n_b
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.da
+              JOIN sizes sb ON sb.doc_id = i.db
+            ),
+            dirs AS (
+              SELECT da AS doc_id_contained, db AS doc_id_container,
+                     (n_i * 1000000) // n_a AS containment_micros
+              FROM bd
+              UNION ALL
+              SELECT db, da, (n_i * 1000000) // n_b FROM bd
+            )
+            SELECT doc_id_contained, doc_id_container, containment_micros
+            FROM dirs WHERE containment_micros >= 400000
+        """,
         "prefix_jaccard": f"""
             WITH {_SHINGLE5},
             dsh AS (SELECT DISTINCT doc_id, s FROM sh),

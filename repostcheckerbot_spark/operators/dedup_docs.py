@@ -235,6 +235,69 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    min_containment: float = 0.8,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """ASYMMETRIC containment join: C(A→B) = |A∩B| / |A| over character
+    k-gram sets — the subset/quotation detector that resemblance Jaccard
+    misses. A short document fully quoted inside a long one has Jaccard
+    ≈ |A|/|B| (tiny) but containment 1.0 on the short side; training-data
+    dedup wants exactly that direction (drop the contained doc, keep the
+    container).
+
+    Emits one row per ORDERED direction clearing ``min_containment``:
+    (doc_id_contained, doc_id_container, containment_micros) — both rows
+    appear when containment is mutual. ``containment_micros`` is the pure
+    integer ``(|∩|·10⁶) div |contained|`` (truncating division — bit-equal
+    in Spark and DuckDB, no float anywhere).
+
+    Same set-based plan and optional hot-shingle DF cap as
+    :func:`ngram_jaccard_pairs` (the cap changes the statistic to
+    rare-shingle containment — call-site opt-in, enumerable exclusions,
+    identical skew argument). One shingle self-join + one pair groupBy; the
+    directional emit is a narrow post-projection.
+    """
+    ex = _distinct_shingles(docs, k)
+    if max_df_frac is not None:
+        n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+        df = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).crossJoin(F.broadcast(n_docs))
+        keep = df.where(
+            F.col("df") <= F.greatest(F.col("n_docs") * max_df_frac, F.lit(float(NGRAM_DF_FLOOR)))
+        ).select("sh")
+        ex = ex.join(keep, "sh", "left_semi")
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), "sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    both = inter.join(
+        sizes.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("n_sh", "n_a"),
+        "doc_id_a",
+    ).join(
+        sizes.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("n_sh", "n_b"),
+        "doc_id_b",
+    )
+    a_in_b = both.select(
+        F.col("doc_id_a").alias("doc_id_contained"),
+        F.col("doc_id_b").alias("doc_id_container"),
+        F.expr("(n_inter * 1000000) div n_a").alias("containment_micros"),
+    )
+    b_in_a = both.select(
+        F.col("doc_id_b").alias("doc_id_contained"),
+        F.col("doc_id_a").alias("doc_id_container"),
+        F.expr("(n_inter * 1000000) div n_b").alias("containment_micros"),
+    )
+    return a_in_b.unionByName(b_in_a).where(
+        F.col("containment_micros") >= int(min_containment * 1_000_000)
+    )
+
+
 #: hex-digit lookup shared with the oracle (1-based position - 1 = value)
 HEX_DIGITS = "0123456789abcdef"
 

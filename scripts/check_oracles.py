@@ -1,6 +1,11 @@
 """Driver-simulator: run every queries() entry on Spark AND its oracle_sql()
 on DuckDB at sf0.01; compare row counts, column names, and order-insensitive
-value hashes. Usage: python scripts/check_oracles.py [name ...]
+value hashes. Usage: python scripts/check_oracles.py [--json PATH] [name ...]
+
+--json PATH additionally writes a CORRECTNESS-shaped artifact (one object
+per checked query: rows/schema/hash match flags + row counts) so the FULL
+query surface is recorded in-repo each round, not only the first-50 window
+the harness checks.
 """
 
 from __future__ import annotations
@@ -43,7 +48,9 @@ def value_hash(pdf: pd.DataFrame) -> str:
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
 
 
-def main(only: list[str]) -> int:
+def main(only: list[str], json_path: str | None = None) -> int:
+    import json
+
     import __spark_entry__ as ent
     from repostcheckerbot_spark.session import get_spark
 
@@ -55,6 +62,7 @@ def main(only: list[str]) -> int:
     qs = ent.queries()
     oracles = ent.oracle_sql()
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -65,21 +73,32 @@ def main(only: list[str]) -> int:
         except Exception as e:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             failures += 1
+            results[name] = {"rows_match": False, "schema_match": False, "hash_match": False,
+                             "spark_rows": None, "oracle_rows": None,
+                             "err": f"spark: {type(e).__name__}: {str(e)[:200]}"}
             continue
         el = time.monotonic() - t0
         if name not in oracles:
             status = "ROWS-ONLY" if len(spdf) >= 0 else "EMPTY"
             print(f"ok?   {name}: {len(spdf)} rows ({status}, no oracle) [{el:.1f}s]")
+            results[name] = {"rows_match": len(spdf) >= 0, "schema_match": None, "hash_match": None,
+                             "spark_rows": len(spdf), "oracle_rows": None, "err": None,
+                             "note": "rows-only (no oracle by design)"}
             continue
         try:
             opdf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             failures += 1
+            results[name] = {"rows_match": False, "schema_match": False, "hash_match": False,
+                             "spark_rows": len(spdf), "oracle_rows": None,
+                             "err": f"duckdb: {type(e).__name__}: {str(e)[:200]}"}
             continue
         ok_rows = len(spdf) == len(opdf)
         ok_cols = sorted(spdf.columns) == sorted(opdf.columns)
         ok_hash = ok_cols and value_hash(spdf) == value_hash(opdf)
+        results[name] = {"rows_match": ok_rows, "schema_match": ok_cols, "hash_match": ok_hash,
+                         "spark_rows": len(spdf), "oracle_rows": len(opdf), "err": None}
         if ok_rows and ok_cols and ok_hash:
             print(f"PASS  {name}: {len(spdf)} rows [{el:.1f}s]")
         else:
@@ -95,9 +114,19 @@ def main(only: list[str]) -> int:
                 neq = (a.astype(str) != b.astype(str)).any(axis=1)
                 print("  first diffs:")
                 print(pd.concat([a[neq].head(3).assign(side="spark"), b[neq].head(3).assign(side="duck")]).to_string())
+    if json_path:
+        with open(json_path, "w") as fh:
+            json.dump(results, fh, indent=1)
+        print(f"wrote {json_path} ({len(results)} queries)")
     print(f"\n{failures} failures")
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1:]))
+    argv = sys.argv[1:]
+    jp = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        jp = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv, json_path=jp))

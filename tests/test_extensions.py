@@ -575,3 +575,35 @@ def test_prefix_jaccard_positional_filter_lossless_and_pruning(spark):
     n_on = dedup_docs._prefix_jaccard_candidates(prefix, t, True).count()
     n_off = dedup_docs._prefix_jaccard_candidates(prefix, t, False).count()
     assert (n_off, n_on) == (2, 1), f"expected (1,2) pruned, (3,4) kept ({n_on} vs {n_off})"
+
+
+def test_ngram_containment_quotation_asymmetry(spark):
+    """B quotes all of A plus extra text: containment(A→B) = 1.0 while
+    Jaccard is small — the case the asymmetric join exists for. The reverse
+    direction scores |A∩B|/|B| and both directions of an identical pair
+    score 1.0."""
+    a = "abcdefghij"                      # 6 distinct 5-grams
+    b = a + "0123456789" * 5              # contains all of A's grams
+    d = _docs(spark, [a, b, "qqqqqqqqqq"])
+    rows = dedup_docs.ngram_containment_pairs(d, k=5, min_containment=0.0)
+    got = {
+        (r.doc_id_contained, r.doc_id_container): r.containment_micros
+        for r in rows.where(
+            (F.col("doc_id_contained") < 2) & (F.col("doc_id_container") < 2)
+        ).collect()
+    }
+    assert got[(0, 1)] == 1_000_000      # A fully contained in B
+    # B→A: A's 6 grams over B's 20 distinct grams (repeats collapse) = 0.3
+    assert got[(1, 0)] == 300_000
+    # Jaccard on the same pair (A⊆B ⇒ union = B ⇒ jaccard = 6/20) sits far
+    # below the 1.0 containment signal the asymmetric join surfaces
+    jac = dedup_docs.ngram_jaccard_pairs(d, k=5, min_jaccard=0.0).where(
+        (F.col("doc_id_a") == 0) & (F.col("doc_id_b") == 1)
+    ).collect()
+    assert jac and jac[0].jaccard == 0.3
+    # threshold filters directions independently
+    hi = dedup_docs.ngram_containment_pairs(d, k=5, min_containment=0.9)
+    kept = {
+        (r.doc_id_contained, r.doc_id_container) for r in hi.collect()
+    }
+    assert kept == {(0, 1)}
