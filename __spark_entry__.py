@@ -285,6 +285,51 @@ def _q_fs_linkage(spark, sf):
     )
 
 
+def _q_clean_clean_linkage(spark, sf):
+    """Clean-clean record linkage (two-source FS): the variant-A customer
+    export linked against a PARTIAL variant-B export (every c_custkey % 4
+    == 1 customer is absent from B — a realistic partial-overlap source),
+    blocked on nation. Unlike `fs_linkage`'s dedup self-join, each pair is
+    one left-record × one right-record and no id-ordering dedup applies;
+    the name field is still provably necessary at the 5-bit threshold, so
+    fs_link_two_sources promotes lower(name) into the join key — the oracle
+    states the unoptimized blocked A×B formula, and the hash match proves
+    the promotion lossless under the two-source topology too."""
+    from repostcheckerbot_spark.operators.er import fs_link_two_sources
+
+    c = load(spark, sf, "customer")
+    left = c.select(
+        (F.col("c_custkey") * 2).alias("rec_id"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    right = c.where(F.col("c_custkey") % 4 != 1).select(
+        (F.col("c_custkey") * 2 + 1).alias("rec_id"),
+        F.col("c_nationkey").alias("nat"),
+        F.upper(F.col("c_name")).alias("name"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("AUTOMOBILE"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        (F.col("c_acctbal") + F.when(F.col("c_custkey") % 2 == 0, F.lit(0.5)).otherwise(F.lit(0.0))).alias("bal"),
+    )
+    agreements = {
+        "name": F.lower(F.col("name_a")) == F.lower(F.col("name_b")),
+        "seg": F.col("seg_a") == F.col("seg_b"),
+        "bal": F.abs(F.col("bal_a") - F.col("bal_b")) < 1.0,
+    }
+    return fs_link_two_sources(
+        left,
+        right,
+        ["nat"],
+        agreements,
+        _FS_MU,
+        threshold_bits=_FS_THRESHOLD_BITS,
+        equi_agreements={"name": F.lower(F.col("name"))},
+    )
+
+
 #: thresholds (micro-bits) swept by fs_threshold_sweep — brackets the FS
 #: decision band: deep non-match, lower bound, zero, mid-band, the 5-bit
 #: production threshold, and above-everything.
@@ -1281,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_cascade_matches": _q_rule_cascade,
         "fs_threshold_sweep": _q_fs_threshold_sweep,
         "ngram_containment": _q_ngram_containment,
+        "clean_clean_linkage": _q_clean_clean_linkage,
         "star_clusters_simhash": _q_star_clusters_simhash,
         "cluster_churn_counts": _q_cluster_churn,
         "transcripts_exact_clusters": _q_transcripts_exact_clusters,
@@ -1603,6 +1649,38 @@ def _one_to_one_oracle() -> str:
           FROM crossed
         )
         SELECT id_a, id_b, fs_score_micros FROM rk WHERE ra = 1 AND rb = 1
+    """
+
+
+def _clean_clean_oracle() -> str:
+    """Two-source clean-clean oracle: variant-A records × the partial
+    variant-B export joined naively within nation blocks (no promoted key —
+    the hash match proves fs_link_two_sources' threshold-implied equi-join
+    lossless), shared weight literals via _fs_terms."""
+    t_bal, t_name, t_seg = _fs_terms()
+    thr = int(_FS_THRESHOLD_BITS * 1_000_000)
+    return f"""
+        WITH la AS (
+          SELECT c_custkey * 2 AS rec_id, c_nationkey AS nat, c_name AS name,
+                 c_mktsegment AS seg, c_acctbal AS bal
+          FROM customer
+        ),
+        rb AS (
+          SELECT c_custkey * 2 + 1 AS rec_id, c_nationkey AS nat, upper(c_name) AS name,
+                 CASE WHEN c_custkey % 3 = 0 THEN 'AUTOMOBILE' ELSE c_mktsegment END AS seg,
+                 c_acctbal + CASE WHEN c_custkey % 2 = 0 THEN 0.5 ELSE 0.0 END AS bal
+          FROM customer WHERE c_custkey % 4 <> 1
+        ),
+        pairs AS (
+          SELECT a.nat, a.rec_id AS rec_id_a, b.rec_id AS rec_id_b,
+                 (abs(a.bal - b.bal) < 1.0) AS agree_bal,
+                 (lower(a.name) = lower(b.name)) AS agree_name,
+                 (a.seg = b.seg) AS agree_seg,
+                 CAST(floor((0.0 + {t_bal} + {t_name} + {t_seg}) * 1000000) AS BIGINT) AS fs_score_micros
+          FROM la a JOIN rb b ON a.nat = b.nat
+        )
+        SELECT nat, rec_id_a, rec_id_b, agree_bal, agree_name, agree_seg, fs_score_micros
+        FROM pairs WHERE fs_score_micros > {thr}
     """
 
 
@@ -2897,6 +2975,7 @@ def oracle_sql() -> dict[str, str]:
         "fs_threshold_sweep": _fs_sweep_oracle(),
         # 1:1 clean-clean assignment: mutual top-1 over the same scored CTE
         "one_to_one_assignment": _one_to_one_oracle(),
+        "clean_clean_linkage": _clean_clean_oracle(),
         # deterministic waterfall: per-rule equi-joins, first rule wins
         "rule_cascade_matches": f"""
             WITH {_FS_RECS_CTE.strip()},

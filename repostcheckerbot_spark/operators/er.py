@@ -103,7 +103,27 @@ def fs_score_pairs(
     block join and a fine-grained equi-join.
     """
     weights = fs_weights(mu)
-    extra_keys: list[str] = []
+    key_exprs = _fs_promoted_keys(weights, agreements, threshold_bits, equi_agreements)
+    others = [c for c in records.columns if c not in block_cols]
+    join_cols = [*block_cols, *key_exprs]
+    src = records
+    for k, expr in key_exprs.items():
+        src = src.withColumn(k, expr)
+    a = src.select(*join_cols, *[F.col(c).alias(f"{c}_a") for c in others])
+    b = src.select(*join_cols, *[F.col(c).alias(f"{c}_b") for c in others])
+    pairs = a.join(b, join_cols).where(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+    return _fs_emit(pairs, block_cols, id_col, agreements, weights, threshold_bits)
+
+
+def _fs_promoted_keys(
+    weights: dict[str, tuple[float, float]],
+    agreements: dict[str, "F.Column"],
+    threshold_bits: float | None,
+    equi_agreements: dict[str, "F.Column"] | None,
+) -> dict[str, "F.Column"]:
+    """Threshold-implied blocking (see fs_score_pairs): the join-key columns
+    (name → per-record expression) for every equi-expressible field whose
+    agreement is provably necessary to clear ``threshold_bits``."""
     key_exprs: dict[str, "F.Column"] = {}
     if threshold_bits is not None and equi_agreements:
         thr_micros = int(threshold_bits * 1_000_000)
@@ -115,17 +135,21 @@ def fs_score_pairs(
             # even the best completion floors to ≤ threshold, no pair lacking
             # this agreement can survive — promotion is lossless.
             if math.floor(ub_without * 1_000_000) <= thr_micros:
-                extra_keys.append(f"_ek_{f}")
                 key_exprs[f"_ek_{f}"] = expr
-    others = [c for c in records.columns if c not in block_cols]
-    join_cols = [*block_cols, *extra_keys]
-    src = records
-    for k, expr in key_exprs.items():
-        src = src.withColumn(k, expr)
-    a = src.select(*join_cols, *[F.col(c).alias(f"{c}_a") for c in others])
-    b = src.select(*join_cols, *[F.col(c).alias(f"{c}_b") for c in others])
-    pairs = a.join(b, join_cols).where(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+    return key_exprs
 
+
+def _fs_emit(
+    pairs: DataFrame,
+    block_cols: list[str],
+    id_col: str,
+    agreements: dict[str, "F.Column"],
+    weights: dict[str, tuple[float, float]],
+    threshold_bits: float | None,
+) -> DataFrame:
+    """Shared FS scoring tail: agree flags + the micros-floored score summed
+    in sorted-field-name order (frozen, oracle-mirrored), then the strict
+    threshold filter."""
     score = F.lit(0.0)
     flags = []
     for f in sorted(agreements):
@@ -143,6 +167,56 @@ def fs_score_pairs(
     if threshold_bits is not None:
         out = out.where(F.col("fs_score_micros") > int(threshold_bits * 1_000_000))
     return out
+
+
+def fs_link_two_sources(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list[str],
+    agreements: dict[str, "F.Column"],
+    mu: dict[str, tuple[float, float]],
+    id_col: str = "rec_id",
+    threshold_bits: float | None = None,
+    equi_agreements: dict[str, "F.Column"] | None = None,
+) -> DataFrame:
+    """Clean-clean Fellegi–Sunter linkage BETWEEN two sources (record
+    linkage proper, vs the dedup self-join of ``fs_score_pairs``): every
+    within-block (left × right) pair is scored once; no id-ordering dedup is
+    applied because the sources are distinct tables — a pair (a, b) exists
+    only as left-record-a × right-record-b.
+
+    Same contracts as ``fs_score_pairs``: ``agreements`` over ``_a``/``_b``
+    suffixed columns (left → ``_a``, right → ``_b``), frozen sorted-field
+    summation into ``fs_score_micros``, strict ``>`` threshold filter, NULL
+    agreement scores as disagreement with a NULL flag, and the
+    threshold-implied blocking promotion (``equi_agreements`` — evaluated
+    per-record on each source before suffixing, weight algebra checked per
+    field) collapsing the within-block cross join to an equi-join when a
+    field is provably necessary. Both sources must share the ``block_cols``
+    and ``id_col`` names; other columns may differ — each side's non-block
+    columns appear suffixed on its own side only.
+
+    Scale: the pair space is Σ_blocks |A_b|·|B_b| — bounded by the caller's
+    blocking exactly as in the self-join case, and the promoted key reduces
+    it to equality groups. If one source is dimension-sized, Spark/AQE
+    broadcasts it; nothing here forces a shuffle beyond the block-key
+    exchange. Reference parity: the reference links NEW submissions against
+    the STORED corpus one at a time (/root/reference/main.py:61-102) — this
+    is that probe generalized to a set-at-a-time two-source linkage.
+    """
+    weights = fs_weights(mu)
+    key_exprs = _fs_promoted_keys(weights, agreements, threshold_bits, equi_agreements)
+    join_cols = [*block_cols, *key_exprs]
+
+    def _side(df: DataFrame, suffix: str) -> DataFrame:
+        src = df
+        for k, expr in key_exprs.items():
+            src = src.withColumn(k, expr)
+        others = [c for c in df.columns if c not in block_cols]
+        return src.select(*join_cols, *[F.col(c).alias(f"{c}{suffix}") for c in others])
+
+    pairs = _side(left, "_a").join(_side(right, "_b"), join_cols)
+    return _fs_emit(pairs, block_cols, id_col, agreements, weights, threshold_bits)
 
 
 # -------------------------------------------------------------- survivorship

@@ -71,6 +71,62 @@ def test_fs_score_pairs_known_answer(spark):
     assert {(r["rec_id_a"], r["rec_id_b"]) for r in matched} == {(1, 2)}
 
 
+def test_fs_link_two_sources_known_answer(spark):
+    """Clean-clean linkage: pairs are left×right only (never within one
+    source), each pair appears once with no id-ordering dedup, scores use
+    the same frozen algebra, and the threshold-implied promotion is
+    lossless under the two-source topology."""
+    from repostcheckerbot_spark.operators.er import fs_link_two_sources
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, "ann smith", "berlin"),
+            (2, 10, "ann smith", "berlin"),   # duplicate NAME within left —
+            (3, 10, "bob jones", "munich"),   # must never pair with rec 1
+        ],
+        "rec_id long, blk int, name string, city string",
+    )
+    right = spark.createDataFrame(
+        [
+            (101, 10, "ANN SMITH", "berlin"),
+            (102, 10, "carol wu", "berlin"),
+            (103, 99, "ann smith", "berlin"),  # other block — never paired
+        ],
+        "rec_id long, blk int, name string, city string",
+    )
+    mu = {"name": (0.9, 0.001), "city": (0.8, 0.1)}
+    agreements = {
+        "name": F.lower(F.col("name_a")) == F.lower(F.col("name_b")),
+        "city": F.col("city_a") == F.col("city_b"),
+    }
+    w = fs_weights(mu)
+    out = fs_link_two_sources(left, right, ["blk"], agreements, mu)
+    rows = {(r["rec_id_a"], r["rec_id_b"]): r for r in out.collect()}
+    # all left×right block-10 pairs, exactly once, left id always on the _a side
+    assert set(rows) == {(1, 101), (1, 102), (2, 101), (2, 102), (3, 101), (3, 102)}
+    exp_match = math.floor((0.0 + w["city"][0] + w["name"][0]) * 1_000_000)
+    assert rows[(1, 101)]["fs_score_micros"] == exp_match
+    assert rows[(1, 101)]["agree_name"] and rows[(1, 101)]["agree_city"]
+    assert not rows[(3, 101)]["agree_name"]
+
+    # promotion losslessness: name necessary at thr → equi-join result identical
+    thr = w["name"][1] + w["city"][0] + 0.5
+    base = {
+        (r["rec_id_a"], r["rec_id_b"], r["fs_score_micros"])
+        for r in fs_link_two_sources(
+            left, right, ["blk"], agreements, mu, threshold_bits=thr
+        ).collect()
+    }
+    promoted = {
+        (r["rec_id_a"], r["rec_id_b"], r["fs_score_micros"])
+        for r in fs_link_two_sources(
+            left, right, ["blk"], agreements, mu, threshold_bits=thr,
+            equi_agreements={"name": F.lower(F.col("name"))},
+        ).collect()
+    }
+    assert promoted == base == {(1, 101, exp_match), (2, 101, exp_match)}
+
+
 def test_fs_equi_agreement_promotion_lossless(spark):
     """Threshold-implied blocking: promoting a provably-necessary equality
     field into the join key must not change the matched-pair set; a field
