@@ -1243,6 +1243,27 @@ def _q_star_clusters_simhash(spark, sf):
     )
 
 
+def _q_pivot_clusters_simhash(spark, sf):
+    """Greedy-PIVOT correlation clustering (derandomized KwikCluster) over
+    the same simhash near-dup graph as ``star_clusters_simhash`` — the
+    middle point of the precision/recall family: no chaining past one hop
+    (unlike CC), no stranded chain tails (unlike star). ids emitted as
+    strings (the md5-permutation key domain). Oracle = the sequential
+    greedy loop run offline (referee.kwikcluster_sequential) as a VALUES
+    literal — the Blelloch-Fineman-Shun schedule equivalence, hash-checked."""
+    from repostcheckerbot_spark.operators.clustering import pivot_clusters
+
+    d = load(spark, sf, "documents")
+    edges = dedup_docs.simhash_near_pairs(d, max_hamming=8)
+    return pivot_clusters(
+        edges,
+        id_a_col="doc_id_a",
+        id_b_col="doc_id_b",
+        vertices=d.select(F.col("doc_id").cast("string").alias("doc_id")),
+        out_col="doc_id",
+    )
+
+
 def _q_cluster_churn(spark, sf):
     """Cluster-churn report: the exact-duplicate clustering (old) vs the
     full fuzzy flagship clustering (new) — per-record stable/moved counts.
@@ -1328,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": _q_ngram_containment,
         "clean_clean_linkage": _q_clean_clean_linkage,
         "star_clusters_simhash": _q_star_clusters_simhash,
+        "pivot_clusters_simhash": _q_pivot_clusters_simhash,
         "cluster_churn_counts": _q_cluster_churn,
         "transcripts_exact_clusters": _q_transcripts_exact_clusters,
         "transcripts_incremental_clusters": _q_transcripts_incremental_clusters,
@@ -1795,6 +1817,36 @@ def _cluster_churn_oracle() -> str:
                       ELSE 'moved' END AS status
           FROM oldc o FULL OUTER JOIN newc n ON o.conv_id = n.conv_id
         ) GROUP BY status
+    """
+
+
+def _pivot_oracle() -> str:
+    """pivot_clusters_simhash value oracle: DuckDB recomputes the simhash
+    near-dup edge set offline (the SAME SQL the hash-green
+    ``simhash_near_pairs`` oracle certifies against the Spark operator),
+    then the SEQUENTIAL greedy-PIVOT loop (referee.kwikcluster_sequential —
+    plain Python, no Spark, no MIS rounds) produces the clustering, embedded
+    as a VALUES literal. A hash match certifies the parallel MIS schedule
+    equals the one-pivot-at-a-time definition on real data."""
+    import duckdb
+
+    from repostcheckerbot_spark.operators.referee import kwikcluster_sequential
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{_ORACLE_SF_DIR}/documents.parquet'"
+    )
+    edges = [
+        (str(a), str(b))
+        for a, b, _h in con.execute(_SIMHASH_PAIRS_SQL).fetchall()
+    ]
+    nodes = [str(i) for (i,) in con.execute("SELECT doc_id FROM documents").fetchall()]
+    con.close()
+    rows = kwikcluster_sequential(nodes, edges)
+    values = ",\n              ".join(f"('{n}', '{c}')" for n, c in rows)
+    return f"""
+        SELECT doc_id, cluster_id
+        FROM (VALUES {values}) t(doc_id, cluster_id)
     """
 
 
@@ -3239,6 +3291,10 @@ def oracle_sql() -> dict[str, str]:
         pass
     try:
         sql["fs_tf_adjusted"] = _fs_tf_oracle()
+    except Exception:  # noqa: BLE001 — missing/corrupt local testdata only
+        pass
+    try:
+        sql["pivot_clusters_simhash"] = _pivot_oracle()
     except Exception:  # noqa: BLE001 — missing/corrupt local testdata only
         pass
     try:

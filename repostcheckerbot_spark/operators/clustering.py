@@ -352,3 +352,120 @@ def resume_connected_components(
         checkpoint_dir=checkpoint_dir,
         **kwargs,
     )
+
+
+def pivot_clusters(
+    edges: DataFrame,
+    id_a_col: str = "conv_id_a",
+    id_b_col: str = "conv_id_b",
+    vertices: DataFrame | None = None,
+    out_col: str = "conv_id",
+    max_rounds: int = 60,
+) -> DataFrame:
+    """Greedy PIVOT correlation clustering — KwikCluster (Ailon, Charikar &
+    Newman, STOC'05 — public algorithm) with the random permutation
+    DERANDOMIZED into a frozen md5 one, so the output is deterministic and
+    oracle-reproducible while keeping the O(log n)-round parallel depth the
+    random order guarantees.
+
+    Sequential definition (the frozen semantics): order nodes by
+    (md5(id), id); repeatedly take the smallest unassigned node as pivot —
+    it claims itself and every currently unassigned neighbor as one cluster
+    (cluster_id = the pivot's original id). This sits BETWEEN the other two
+    clusterers: unlike connected components (recall end) a pivot cluster
+    never chains beyond one hop; unlike star_clusters (precision end) chain
+    tails do not strand as singletons — they recurse into further pivots,
+    which is exactly KwikCluster's 3-approximation for correlation
+    clustering.
+
+    Equivalent parallel schedule (Blelloch, Fineman & Shun, SPAA'12 —
+    public result): the pivot set equals the greedy maximal independent set
+    in permutation order (v pivots iff NO earlier neighbor pivots), and a
+    non-pivot's absorber is its EARLIEST pivot neighbor — pivots activate
+    in permutation order and are never absorbed, so the earliest pivot
+    neighbor grabs the node first. So the rounds below compute the MIS
+    fixpoint (per round: live permutation-local minima pivot; their live
+    neighbors retire as decided non-pivots; edges among retired nodes
+    drop), then ONE post-pass joins every non-pivot to min(pivot neighbors)
+    over the ORIGINAL graph. Round count is the permutation's dependence
+    depth — O(log n) whp under the md5 order regardless of adversarial id
+    structure (an ascending-id chain would degrade the raw-id order to
+    O(n) rounds; hashing restores the random-permutation bound). The
+    sf0.01 driver oracle hash-checks the schedule equivalence against an
+    offline sequential referee.
+
+    Shape: per MIS round one groupBy(node) min-neighbor + two anti/semi
+    joins, all shuffled on node id, lineage truncated by localCheckpoint
+    (same discipline as connected_components); the assignment pass is one
+    semi-join + groupBy. Termination = live-node count 0 on the
+    checkpointed frame; exceeding ``max_rounds`` raises rather than
+    returning a partial clustering.
+    """
+    # frozen permutation key: md5(id) || '|' || id — lexicographic order on
+    # the key IS the permutation (ties broken by id; '|' keeps the two parts
+    # unambiguous), and the original id recovers as substr(key, 34).
+    def keyed(col: "F.Column") -> "F.Column":
+        s = col.cast("string")
+        return F.concat(F.md5(s), F.lit("|"), s)
+
+    e = (
+        edges.select(
+            keyed(F.col(id_a_col)).alias("src"), keyed(F.col(id_b_col)).alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    nbrs = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    live_nodes = nbrs.select("src").distinct()
+    if vertices is not None:
+        live_nodes = vertices.select(keyed(F.col(out_col)).alias("src")).distinct()
+    live_edges = nbrs
+    pivot_parts: list[DataFrame] = []
+    for _ in range(max_rounds):
+        min_nbr = live_edges.groupBy("src").agg(F.min("dst").alias("min_nbr"))
+        # permutation-local minimum among live nodes: no live neighbor, or
+        # every live neighbor later in the permutation
+        new_pivots = (
+            live_nodes.join(min_nbr, "src", "left")
+            .where(F.col("min_nbr").isNull() | (F.col("min_nbr") > F.col("src")))
+            .select("src")
+            .localCheckpoint(eager=True)
+        )
+        pivot_parts.append(new_pivots)
+        # live neighbors of new pivots are decided non-pivots — retire both
+        excluded = (
+            live_edges.join(
+                new_pivots.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+            .select("src")
+            .distinct()
+        )
+        retired = new_pivots.unionByName(excluded)
+        live_nodes = live_nodes.join(retired, "src", "left_anti").localCheckpoint(
+            eager=True
+        )
+        if live_nodes.isEmpty():
+            break
+        live_edges = (
+            live_edges.join(live_nodes, "src", "left_semi")
+            .join(live_nodes.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(f"pivot_clusters did not converge in {max_rounds} rounds")
+    pivots = pivot_parts[0]
+    for p in pivot_parts[1:]:
+        pivots = pivots.unionByName(p)
+    # assignment pass over the ORIGINAL graph: non-pivot → earliest pivot nbr
+    members = (
+        nbrs.join(pivots.select(F.col("src").alias("dst")), "dst", "left_semi")
+        .join(pivots, "src", "left_anti")
+        .groupBy("src")
+        .agg(F.min("dst").alias("pivot_key"))
+    )
+    out = pivots.select("src", F.col("src").alias("pivot_key")).unionByName(members)
+    return out.select(
+        F.substring("src", 34, 2**30).alias(out_col),
+        F.substring("pivot_key", 34, 2**30).alias("cluster_id"),
+    )

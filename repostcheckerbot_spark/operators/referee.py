@@ -141,3 +141,41 @@ def flagship_clusters_offline(
                     union(ca, cb)
 
     return sorted((conv_id, find(conv_id)) for conv_id, _t, _r, _n in docs)
+
+
+def kwikcluster_sequential(
+    nodes: list[str], edges: list[tuple[str, str]]
+) -> list[tuple[str, str]]:
+    """Sequential referee for ``clustering.pivot_clusters``: the FROZEN
+    greedy-PIVOT semantics (KwikCluster, Ailon-Charikar-Newman STOC'05) run
+    literally, one pivot at a time, with the derandomized md5 permutation —
+    order nodes by (md5(id), id); the smallest unassigned node pivots and
+    claims every still-unassigned neighbor; repeat. No MIS rounds, no Spark —
+    this is the O(n + m) textbook loop the parallel schedule must equal, used
+    both by the pytest equivalence tests and (via a VALUES literal) by the
+    driver's DuckDB oracle for ``pivot_clusters_simhash``.
+
+    Returns sorted (node, cluster_id = pivot's original id) covering every
+    node in ``nodes`` plus any edge endpoint; isolated nodes self-cluster.
+    """
+    import hashlib
+
+    def perm_key(n: str) -> tuple[str, str]:
+        return (hashlib.md5(n.encode()).hexdigest(), n)
+
+    adj: dict[str, set[str]] = {n: set() for n in nodes}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    assigned: dict[str, str] = {}
+    for n in sorted(adj, key=perm_key):
+        if n in assigned:
+            continue
+        assigned[n] = n  # n pivots
+        for m in adj[n]:
+            if m not in assigned:
+                assigned[m] = n
+    return sorted(assigned.items())

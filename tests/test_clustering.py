@@ -176,3 +176,59 @@ def test_cluster_diff_statuses(spark):
         "a": "stable", "b": "stable", "c": "moved",
         "gone": "removed", "fresh": "added",
     }
+
+
+def test_pivot_clusters_match_sequential_referee(spark):
+    """The parallel MIS schedule must equal the sequential greedy-PIVOT loop
+    exactly (Blelloch-Fineman-Shun equivalence) on random graphs, including
+    isolated vertices."""
+    from repostcheckerbot_spark.operators.clustering import pivot_clusters
+    from repostcheckerbot_spark.operators.referee import kwikcluster_sequential
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        nodes = [f"n{i:03d}" for i in range(120)]
+        edges = []
+        for _ in range(150):
+            a, b = rng.sample(nodes, 2)
+            edges.append((min(a, b), max(a, b)))
+        e = spark.createDataFrame(edges, ["conv_id_a", "conv_id_b"])
+        v = spark.createDataFrame([(n,) for n in nodes], ["conv_id"])
+        got = {
+            r.conv_id: r.cluster_id
+            for r in pivot_clusters(e, vertices=v).collect()
+        }
+        want = dict(kwikcluster_sequential(nodes, edges))
+        assert got == want
+
+
+def test_pivot_clusters_invariants_and_position(spark):
+    """Structural invariants on an adversarial ascending-id path (the case
+    the md5 permutation exists for): pivots form an independent set, every
+    non-pivot is adjacent to its pivot (diameter ≤ 2), the cover is exact,
+    and the clustering sits between star (refines nothing) and CC: every
+    pivot cluster is contained in one connected component."""
+    from repostcheckerbot_spark.operators.clustering import (
+        connected_components,
+        pivot_clusters,
+    )
+    from repostcheckerbot_spark.operators.referee import kwikcluster_sequential
+
+    nodes = [f"p{i:04d}" for i in range(200)]
+    edges = [(nodes[i], nodes[i + 1]) for i in range(199)]
+    e = spark.createDataFrame(edges, ["conv_id_a", "conv_id_b"])
+    got = {r.conv_id: r.cluster_id for r in pivot_clusters(e).collect()}
+    assert got == dict(kwikcluster_sequential(nodes, edges))
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    pivots = {c for c in got.values()}
+    for p in pivots:
+        assert not (adj[p] & pivots), "pivots must be an independent set"
+    for n, c in got.items():
+        assert n == c or c in adj[n], "member must be adjacent to its pivot"
+    assert set(got) == set(nodes)
+    cc = {r.conv_id: r.cluster_id for r in connected_components(e).collect()}
+    for n, c in got.items():
+        assert cc[n] == cc[c], "pivot cluster crosses a CC component"
