@@ -1264,6 +1264,30 @@ def _q_pivot_clusters_simhash(spark, sf):
     )
 
 
+def _q_threshold_cluster_ladder(spark, sf):
+    """Single-linkage dendrogram cuts at hamming thresholds 1/4/7 over the
+    simhash near-dup graph — one contraction ladder instead of three full
+    closures (each looser level clusters only the previous level's
+    representatives on its marginal edge band). ids as strings (lexicographic
+    min-id convention shared with the sequential union-find referee oracle)."""
+    from repostcheckerbot_spark.operators.clustering import threshold_clustering
+
+    d = load(spark, sf, "documents")
+    edges = dedup_docs.simhash_near_pairs(d, max_hamming=8).select(
+        F.col("doc_id_a").cast("string").alias("doc_id_a"),
+        F.col("doc_id_b").cast("string").alias("doc_id_b"),
+        F.col("hamming").alias("weight"),
+    )
+    return threshold_clustering(
+        edges,
+        thresholds=[1, 4, 7],
+        id_a_col="doc_id_a",
+        id_b_col="doc_id_b",
+        vertices=d.select(F.col("doc_id").cast("string").alias("doc_id")),
+        out_col="doc_id",
+    )
+
+
 def _q_cluster_churn(spark, sf):
     """Cluster-churn report: the exact-duplicate clustering (old) vs the
     full fuzzy flagship clustering (new) — per-record stable/moved counts.
@@ -1350,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_clean_linkage": _q_clean_clean_linkage,
         "star_clusters_simhash": _q_star_clusters_simhash,
         "pivot_clusters_simhash": _q_pivot_clusters_simhash,
+        "threshold_cluster_ladder": _q_threshold_cluster_ladder,
         "cluster_churn_counts": _q_cluster_churn,
         "transcripts_exact_clusters": _q_transcripts_exact_clusters,
         "transcripts_incremental_clusters": _q_transcripts_incremental_clusters,
@@ -1847,6 +1872,35 @@ def _pivot_oracle() -> str:
     return f"""
         SELECT doc_id, cluster_id
         FROM (VALUES {values}) t(doc_id, cluster_id)
+    """
+
+
+def _ladder_oracle() -> str:
+    """threshold_cluster_ladder value oracle: DuckDB recomputes the weighted
+    simhash edge set offline (the hash-green ``simhash_near_pairs`` SQL, with
+    hamming), then the sequential per-threshold union-find
+    (referee.single_linkage_levels — textbook single linkage, no contraction,
+    no Spark) produces the three cuts, embedded as a VALUES literal. A hash
+    match certifies the contraction ladder is lossless on real data."""
+    import duckdb
+
+    from repostcheckerbot_spark.operators.referee import single_linkage_levels
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{_ORACLE_SF_DIR}/documents.parquet'"
+    )
+    edges = [
+        (str(a), str(b), int(h))
+        for a, b, h in con.execute(_SIMHASH_PAIRS_SQL).fetchall()
+    ]
+    nodes = [str(i) for (i,) in con.execute("SELECT doc_id FROM documents").fetchall()]
+    con.close()
+    rows = single_linkage_levels(nodes, edges, [1, 4, 7])
+    values = ",\n              ".join(f"('{n}', {t}, '{c}')" for n, t, c in rows)
+    return f"""
+        SELECT doc_id, CAST(threshold AS INT) AS threshold, cluster_id
+        FROM (VALUES {values}) t(doc_id, threshold, cluster_id)
     """
 
 
@@ -3295,6 +3349,10 @@ def oracle_sql() -> dict[str, str]:
         pass
     try:
         sql["pivot_clusters_simhash"] = _pivot_oracle()
+    except Exception:  # noqa: BLE001 — missing/corrupt local testdata only
+        pass
+    try:
+        sql["threshold_cluster_ladder"] = _ladder_oracle()
     except Exception:  # noqa: BLE001 — missing/corrupt local testdata only
         pass
     try:

@@ -179,3 +179,43 @@ def kwikcluster_sequential(
             if m not in assigned:
                 assigned[m] = n
     return sorted(assigned.items())
+
+
+def single_linkage_levels(
+    nodes: list[str],
+    weighted_edges: list[tuple[str, str, int]],
+    thresholds: list[int],
+) -> list[tuple[str, int, str]]:
+    """Sequential referee for ``clustering.threshold_clustering``: per
+    threshold θ (ascending), union-find with lexicographic-min roots over
+    every edge with weight ≤ θ — the textbook definition, no contraction, no
+    Spark. Used by the pytest losslessness tests and (as a VALUES literal)
+    by the driver's DuckDB oracle. Returns sorted (node, threshold,
+    cluster_id) covering ``nodes`` plus every edge endpoint."""
+    all_nodes = set(nodes) | {a for a, _b, _w in weighted_edges} | {
+        b for _a, b, _w in weighted_edges
+    }
+    out: list[tuple[str, int, str]] = []
+    for t in sorted(set(int(x) for x in thresholds)):
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b, w in weighted_edges:
+            if w > t or a == b:
+                continue
+            ra, rb = find(a), find(b)
+            if ra == rb:
+                continue
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+        out.extend((n, t, find(n)) for n in all_nodes)
+    return sorted(out)

@@ -232,3 +232,66 @@ def test_pivot_clusters_invariants_and_position(spark):
     cc = {r.conv_id: r.cluster_id for r in connected_components(e).collect()}
     for n, c in got.items():
         assert cc[n] == cc[c], "pivot cluster crosses a CC component"
+
+
+def test_threshold_clustering_matches_referee_and_naive(spark):
+    """The contraction ladder must equal (a) the sequential per-threshold
+    union-find referee and (b) an independent FULL closure per level
+    (contraction losslessness), on random weighted graphs with vertices
+    whose first edge only activates at the loosest level."""
+    from repostcheckerbot_spark.operators.clustering import (
+        connected_components,
+        threshold_clustering,
+    )
+    from repostcheckerbot_spark.operators.referee import single_linkage_levels
+
+    thresholds = [2, 5, 9]
+    for seed in (1, 2):
+        rng = random.Random(seed)
+        nodes = [f"n{i:03d}" for i in range(100)]
+        edges = []
+        for _ in range(140):
+            a, b = rng.sample(nodes, 2)
+            edges.append((min(a, b), max(a, b), rng.randint(0, 10)))
+        e = spark.createDataFrame(edges, ["conv_id_a", "conv_id_b", "weight"])
+        v = spark.createDataFrame([(n,) for n in nodes + ["lonely"]], ["conv_id"])
+        got = sorted(
+            (r.conv_id, r.threshold, r.cluster_id)
+            for r in threshold_clustering(e, thresholds, vertices=v).collect()
+        )
+        want = single_linkage_levels(nodes + ["lonely"], edges, thresholds)
+        assert got == want
+        for t in thresholds:
+            lvl = e.where(F.col("weight") <= t).select("conv_id_a", "conv_id_b")
+            naive = {
+                r.conv_id: r.cluster_id
+                for r in connected_components(lvl, vertices=v).collect()
+            }
+            ladder_t = {n: c for n, th, c in got if th == t}
+            assert ladder_t == naive, f"contraction diverges at threshold {t}"
+
+
+def test_threshold_clustering_nesting_invariant(spark):
+    """Monotone nesting: two nodes sharing a cluster at a tighter threshold
+    must share one at every looser threshold."""
+    from repostcheckerbot_spark.operators.clustering import threshold_clustering
+
+    rng = random.Random(7)
+    nodes = [f"m{i:03d}" for i in range(80)]
+    edges = [
+        (min(a, b), max(a, b), rng.randint(0, 6))
+        for a, b in (rng.sample(nodes, 2) for _ in range(100))
+    ]
+    e = spark.createDataFrame(edges, ["conv_id_a", "conv_id_b", "weight"])
+    rows = threshold_clustering(e, [1, 3, 6]).collect()
+    by_t: dict[int, dict[str, str]] = {}
+    for r in rows:
+        by_t.setdefault(r.threshold, {})[r.conv_id] = r.cluster_id
+    ts = sorted(by_t)
+    for tight, loose in zip(ts, ts[1:]):
+        seen: dict[str, str] = {}
+        for n, c in by_t[tight].items():
+            if c in seen:
+                assert by_t[loose][n] == seen[c], "nesting violated"
+            else:
+                seen[c] = by_t[loose][n]
