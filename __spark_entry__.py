@@ -357,6 +357,28 @@ def _q_fs_threshold_sweep(spark, sf):
     return threshold_sweep(labeled, _FS_SWEEP_THRESHOLDS)
 
 
+def _q_fs_uncertainty_queue(spark, sf):
+    """Active-learning labeling queue: the 100 blocked pairs whose FS score
+    is closest to the 5-bit decision threshold (uncertainty sampling —
+    where a human-label budget moves the fitted weights most), per-block
+    prefiltered then global top-k, deterministic ties."""
+    from repostcheckerbot_spark.operators.er import fs_score_pairs, uncertainty_queue
+
+    recs = _fs_records(spark, sf)
+    agreements = {
+        "name": F.lower(F.col("name_a")) == F.lower(F.col("name_b")),
+        "seg": F.col("seg_a") == F.col("seg_b"),
+        "bal": F.abs(F.col("bal_a") - F.col("bal_b")) < 1.0,
+    }
+    scored = fs_score_pairs(recs, ["nat"], agreements, _FS_MU)
+    return uncertainty_queue(
+        scored,
+        threshold_micros=int(_FS_THRESHOLD_BITS * 1_000_000),
+        k=100,
+        block_cols=["nat"],
+    )
+
+
 def _q_fs_decision_counts(spark, sf):
     """The Fellegi–Sunter THREE-WAY decision rule (match above the upper
     threshold, clerical-review band between, non-match below) over every
@@ -1288,6 +1310,31 @@ def _q_threshold_cluster_ladder(spark, sf):
     )
 
 
+def _q_threshold_merge_edges(spark, sf):
+    """The review queue for threshold loosening: simhash edges whose
+    endpoints are split at hamming ≤ 1 but merged at hamming ≤ 7 — the
+    causal counterpart of cluster_churn (records). Reuses the ladder's two
+    cuts; edge list joined 4× against the assignments, no iteration."""
+    from repostcheckerbot_spark.operators.clustering import merge_responsible_edges
+
+    ladder = _q_threshold_cluster_ladder(spark, sf).localCheckpoint(eager=False)
+    edges = dedup_docs.simhash_near_pairs(load(spark, sf, "documents"), max_hamming=8).select(
+        F.col("doc_id_a").cast("string").alias("doc_id_a"),
+        F.col("doc_id_b").cast("string").alias("doc_id_b"),
+        F.col("hamming"),
+    )
+    return merge_responsible_edges(
+        edges,
+        tight_assign=ladder.where(F.col("threshold") == 1).select("doc_id", "cluster_id"),
+        loose_assign=ladder.where(F.col("threshold") == 7).select("doc_id", "cluster_id"),
+        id_a_col="doc_id_a",
+        id_b_col="doc_id_b",
+        node_col="doc_id",
+    ).select(
+        "doc_id_a", "doc_id_b", "tight_cluster_a", "tight_cluster_b", "merged_cluster"
+    )
+
+
 def _q_cluster_churn(spark, sf):
     """Cluster-churn report: the exact-duplicate clustering (old) vs the
     full fuzzy flagship clustering (new) — per-record stable/moved counts.
@@ -1370,11 +1417,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_tf_adjusted": _q_fs_tf_adjusted,
         "rule_cascade_matches": _q_rule_cascade,
         "fs_threshold_sweep": _q_fs_threshold_sweep,
+        "fs_uncertainty_queue": _q_fs_uncertainty_queue,
         "ngram_containment": _q_ngram_containment,
         "clean_clean_linkage": _q_clean_clean_linkage,
         "star_clusters_simhash": _q_star_clusters_simhash,
         "pivot_clusters_simhash": _q_pivot_clusters_simhash,
         "threshold_cluster_ladder": _q_threshold_cluster_ladder,
+        "threshold_merge_edges": _q_threshold_merge_edges,
         "cluster_churn_counts": _q_cluster_churn,
         "transcripts_exact_clusters": _q_transcripts_exact_clusters,
         "transcripts_incremental_clusters": _q_transcripts_incremental_clusters,
@@ -1602,6 +1651,27 @@ def _fs_oracle() -> str:
     return _fs_pairs_cte(t_bal, t_name, t_seg) + f"""
         SELECT nat, rec_id_a, rec_id_b, agree_bal, agree_name, agree_seg, fs_score_micros
         FROM pairs WHERE fs_score_micros > {thr}
+    """
+
+
+def _fs_uncertainty_oracle() -> str:
+    """fs_uncertainty_queue stated directly: the scored-pair CTE, absolute
+    distance to the 5-bit threshold, global ORDER BY + LIMIT with the same
+    (uncertainty, id_a, id_b) tie-break — the oracle needs no per-block
+    prefilter, so a hash match proves the prefilter lossless."""
+    t_bal, t_name, t_seg = _fs_terms()
+    thr = int(_FS_THRESHOLD_BITS * 1_000_000)
+    return _fs_pairs_cte(t_bal, t_name, t_seg) + f"""
+        , u AS (
+          SELECT rec_id_a, rec_id_b, fs_score_micros,
+                 CAST(abs(fs_score_micros - {thr}) AS BIGINT) AS uncertainty_micros
+          FROM pairs
+        )
+        SELECT CAST(row_number() OVER (ORDER BY uncertainty_micros, rec_id_a, rec_id_b) AS BIGINT) AS rank,
+               rec_id_a, rec_id_b, fs_score_micros, uncertainty_micros
+        FROM u
+        ORDER BY uncertainty_micros, rec_id_a, rec_id_b
+        LIMIT 100
     """
 
 
@@ -1875,32 +1945,71 @@ def _pivot_oracle() -> str:
     """
 
 
+_LADDER_VALUES_CACHE: str | None = None
+
+
+def _ladder_values() -> str:
+    """The sequential single-linkage referee's (doc_id, threshold,
+    cluster_id) relation at hamming cuts 1/4/7 as a SQL VALUES body — DuckDB
+    recomputes the weighted simhash edge set offline (the hash-green
+    ``simhash_near_pairs`` SQL, with hamming), then
+    referee.single_linkage_levels (textbook per-threshold union-find, no
+    contraction, no Spark) produces the cuts. Cached per process; shared by
+    the ladder and merge-edges oracles."""
+    global _LADDER_VALUES_CACHE
+    if _LADDER_VALUES_CACHE is None:
+        import duckdb
+
+        from repostcheckerbot_spark.operators.referee import single_linkage_levels
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{_ORACLE_SF_DIR}/documents.parquet'"
+        )
+        edges = [
+            (str(a), str(b), int(h))
+            for a, b, h in con.execute(_SIMHASH_PAIRS_SQL).fetchall()
+        ]
+        nodes = [
+            str(i) for (i,) in con.execute("SELECT doc_id FROM documents").fetchall()
+        ]
+        con.close()
+        rows = single_linkage_levels(nodes, edges, [1, 4, 7])
+        _LADDER_VALUES_CACHE = ",\n              ".join(
+            f"('{n}', {t}, '{c}')" for n, t, c in rows
+        )
+    return _LADDER_VALUES_CACHE
+
+
 def _ladder_oracle() -> str:
-    """threshold_cluster_ladder value oracle: DuckDB recomputes the weighted
-    simhash edge set offline (the hash-green ``simhash_near_pairs`` SQL, with
-    hamming), then the sequential per-threshold union-find
-    (referee.single_linkage_levels — textbook single linkage, no contraction,
-    no Spark) produces the three cuts, embedded as a VALUES literal. A hash
-    match certifies the contraction ladder is lossless on real data."""
-    import duckdb
-
-    from repostcheckerbot_spark.operators.referee import single_linkage_levels
-
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM '{_ORACLE_SF_DIR}/documents.parquet'"
-    )
-    edges = [
-        (str(a), str(b), int(h))
-        for a, b, h in con.execute(_SIMHASH_PAIRS_SQL).fetchall()
-    ]
-    nodes = [str(i) for (i,) in con.execute("SELECT doc_id FROM documents").fetchall()]
-    con.close()
-    rows = single_linkage_levels(nodes, edges, [1, 4, 7])
-    values = ",\n              ".join(f"('{n}', {t}, '{c}')" for n, t, c in rows)
+    """threshold_cluster_ladder value oracle: the sequential referee's
+    relation as a VALUES literal (see _ladder_values). A hash match
+    certifies the contraction ladder is lossless on real data."""
     return f"""
         SELECT doc_id, CAST(threshold AS INT) AS threshold, cluster_id
-        FROM (VALUES {values}) t(doc_id, threshold, cluster_id)
+        FROM (VALUES {_ladder_values()}) t(doc_id, threshold, cluster_id)
+    """
+
+
+def _merge_edges_oracle() -> str:
+    """threshold_merge_edges stated as SQL: the simhash edge set (DuckDB
+    recompute) joined 4× against the referee's ladder relation at cuts 1 and
+    7 — split-at-tight AND merged-at-loose, the same predicate as the Spark
+    operator."""
+    return f"""
+        WITH ladder(doc_id, threshold, cluster_id) AS (VALUES {_ladder_values()}),
+        e AS ({_SIMHASH_PAIRS_SQL})
+        SELECT CAST(e.doc_id_a AS VARCHAR) AS doc_id_a,
+               CAST(e.doc_id_b AS VARCHAR) AS doc_id_b,
+               ta.cluster_id AS tight_cluster_a,
+               tb.cluster_id AS tight_cluster_b,
+               la.cluster_id AS merged_cluster
+        FROM e
+        JOIN ladder ta ON ta.doc_id = CAST(e.doc_id_a AS VARCHAR) AND ta.threshold = 1
+        JOIN ladder tb ON tb.doc_id = CAST(e.doc_id_b AS VARCHAR) AND tb.threshold = 1
+        JOIN ladder la ON la.doc_id = CAST(e.doc_id_a AS VARCHAR) AND la.threshold = 7
+        JOIN ladder lb ON lb.doc_id = CAST(e.doc_id_b AS VARCHAR) AND lb.threshold = 7
+        WHERE ta.cluster_id <> tb.cluster_id AND la.cluster_id = lb.cluster_id
     """
 
 
@@ -3112,6 +3221,7 @@ def oracle_sql() -> dict[str, str]:
         # three-way FS decision counts (match / possible / non-match) over
         # the same scored-pair CTE as fs_linkage
         "fs_decision_counts": _fs_decision_oracle(),
+        "fs_uncertainty_queue": _fs_uncertainty_oracle(),
         # blocking-quality metrics over the same dirty record CTE, blocked on
         # seg — all-integer counts and millionths floors
         "blocking_metrics": """
@@ -3353,6 +3463,7 @@ def oracle_sql() -> dict[str, str]:
         pass
     try:
         sql["threshold_cluster_ladder"] = _ladder_oracle()
+        sql["threshold_merge_edges"] = _merge_edges_oracle()
     except Exception:  # noqa: BLE001 — missing/corrupt local testdata only
         pass
     try:

@@ -566,3 +566,55 @@ def threshold_clustering(
     return out.select(
         F.col("conv_id").alias(out_col), "threshold", "cluster_id"
     )
+
+
+def merge_responsible_edges(
+    edges: DataFrame,
+    tight_assign: DataFrame,
+    loose_assign: DataFrame,
+    id_a_col: str = "conv_id_a",
+    id_b_col: str = "conv_id_b",
+    node_col: str = "conv_id",
+) -> DataFrame:
+    """Which edges are RESPONSIBLE for cluster merges between two operating
+    points: the review queue for threshold loosening. An edge qualifies iff
+    its endpoints sit in DIFFERENT clusters under ``tight_assign`` but the
+    SAME cluster under ``loose_assign`` — exactly the pairs a reviewer must
+    inspect before promoting the looser threshold to production, and the
+    counterpart of ``cluster_diff`` (which reports affected RECORDS, not the
+    causal edges).
+
+    Shape: four equi-joins of the edge set against the two assignments (all
+    on node id — at scale the assignments are corpus-sized but the edge set
+    is sparse, so each join shuffles only edge-mass), no iteration. Output:
+    (id_a, id_b, tight_cluster_a, tight_cluster_b, merged_cluster).
+    """
+    ta = tight_assign.select(
+        F.col(node_col).alias(id_a_col), F.col("cluster_id").alias("tight_cluster_a")
+    )
+    tb = tight_assign.select(
+        F.col(node_col).alias(id_b_col), F.col("cluster_id").alias("tight_cluster_b")
+    )
+    la = loose_assign.select(
+        F.col(node_col).alias(id_a_col), F.col("cluster_id").alias("la")
+    )
+    lb = loose_assign.select(
+        F.col(node_col).alias(id_b_col), F.col("cluster_id").alias("lb")
+    )
+    return (
+        edges.join(ta, id_a_col)
+        .join(tb, id_b_col)
+        .join(la, id_a_col)
+        .join(lb, id_b_col)
+        .where(
+            (F.col("tight_cluster_a") != F.col("tight_cluster_b"))
+            & (F.col("la") == F.col("lb"))
+        )
+        .select(
+            id_a_col,
+            id_b_col,
+            "tight_cluster_a",
+            "tight_cluster_b",
+            F.col("la").alias("merged_cluster"),
+        )
+    )

@@ -925,3 +925,50 @@ def fs_estimate_mu(
             m[f] = clamp(mf / wm if wm > 0 else init_m)
             u[f] = clamp(uf / wu if wu > 0 else init_u)
     return {fields[f]: (m[f], u[f]) for f in range(nf)}, p
+
+
+def uncertainty_queue(
+    scored: DataFrame,
+    threshold_micros: int,
+    k: int,
+    id_cols: tuple[str, str] = ("rec_id_a", "rec_id_b"),
+    score_col: str = "fs_score_micros",
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Active-learning labeling queue: the k scored pairs whose match score
+    sits CLOSEST to the decision threshold — uncertainty sampling, the
+    standard way ER deployments spend a human-labeling budget (each label
+    near the boundary moves the fitted (m, u) weights most; pairs far from
+    the threshold teach nothing). The reference's analog is its manual
+    moderation flow — borderline ratios get eyeballed (reference bot.py
+    reply/report path) — here made a first-class bounded operator.
+
+    Deterministic: ordered by (|score − threshold|, id_a, id_b) — ties at
+    the budget boundary cannot reshuffle across runs or partitionings.
+
+    Scale shape: when ``block_cols`` is given, a per-block window keeps only
+    each block's k most uncertain pairs FIRST (one row_number over the
+    block-key exchange the scorer already produced), so the global top-k
+    sort sees ≤ k·|blocks| rows instead of every scored pair; the global
+    ``orderBy(...).limit(k)`` then compiles to TakeOrderedAndProject (per-
+    partition heaps + driver merge of k·P rows, never a full sort). Output:
+    (rank, *id_cols, score_col, uncertainty_micros).
+    """
+    ida, idb = id_cols
+    u = scored.withColumn(
+        "uncertainty_micros",
+        F.abs(F.col(score_col) - F.lit(int(threshold_micros))).cast("long"),
+    )
+    order = [F.col("uncertainty_micros").asc(), F.col(ida).asc(), F.col(idb).asc()]
+    if block_cols:
+        w = Window.partitionBy(*block_cols).orderBy(*order)
+        u = u.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    top = u.orderBy(*order).limit(k)
+    wg = Window.orderBy(*order)
+    return top.select(
+        F.row_number().over(wg).cast("long").alias("rank"),
+        ida,
+        idb,
+        score_col,
+        "uncertainty_micros",
+    )

@@ -295,3 +295,25 @@ def test_threshold_clustering_nesting_invariant(spark):
                 assert by_t[loose][n] == seen[c], "nesting violated"
             else:
                 seen[c] = by_t[loose][n]
+
+
+def test_merge_responsible_edges_known_answer(spark):
+    """Path a-b(w1)-c(w5): at θ=1 {a,b}|{c}, at θ=5 one cluster — only the
+    b-c edge is merge-responsible (a-b was already intra-cluster at the
+    tight cut). A component unchanged between cuts contributes nothing."""
+    from repostcheckerbot_spark.operators.clustering import (
+        merge_responsible_edges,
+        threshold_clustering,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 5), ("x", "y", 1)],
+        ["conv_id_a", "conv_id_b", "weight"],
+    )
+    ladder = threshold_clustering(e, [1, 5])
+    got = merge_responsible_edges(
+        e,
+        tight_assign=ladder.where(F.col("threshold") == 1).select("conv_id", "cluster_id"),
+        loose_assign=ladder.where(F.col("threshold") == 5).select("conv_id", "cluster_id"),
+    ).collect()
+    assert [tuple(r) for r in got] == [("b", "c", "a", "c", "a")]

@@ -593,3 +593,31 @@ def test_rule_cascade_first_rule_wins(spark):
     assert got[(4, 5)] == (1, "by_code")
     assert all(6 not in pair for pair in got)
     assert len(got) == 4
+
+
+def test_uncertainty_queue_prefilter_lossless_and_deterministic(spark):
+    """The per-block prefilter must not change the global top-k (losslessness:
+    each block contributes at most k rows, and the global winners are within
+    their block's top-k by definition); ranks are contiguous and ties at the
+    boundary break on ids."""
+    import random as _random
+
+    from repostcheckerbot_spark.operators.er import uncertainty_queue
+
+    rng = _random.Random(3)
+    rows = [
+        (i * 2, i * 2 + 1, rng.randrange(5), rng.randrange(0, 10_000_000))
+        for i in range(400)
+    ]
+    # planted exact ties straddling the threshold
+    rows += [(9000, 9001, 9, 5_000_100), (9002, 9003, 9, 4_999_900)]
+    scored = spark.createDataFrame(
+        rows, "rec_id_a long, rec_id_b long, nat int, fs_score_micros long"
+    )
+    blocked = uncertainty_queue(scored, 5_000_000, 25, block_cols=["nat"]).collect()
+    plain = uncertainty_queue(scored, 5_000_000, 25, block_cols=None).collect()
+    assert [tuple(r) for r in blocked] == [tuple(r) for r in plain]
+    assert [r.rank for r in blocked] == list(range(1, 26))
+    # the two planted ±100 pairs tie on uncertainty; id order decides
+    top2 = [(r.rec_id_a, r.uncertainty_micros) for r in blocked[:2]]
+    assert top2 == [(9000, 100), (9002, 100)]
