@@ -414,9 +414,15 @@ def pivot_clusters(
         )
         .where(F.col("src") != F.col("dst"))
     )
-    nbrs = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # the symmetrized edge set is re-read by EVERY MIS round's min-neighbor
+    # aggregate and again by the final assignment pass — truncate its lineage
+    # once so the (potentially expensive) upstream candidate computation runs
+    # a single time, not once per consumer.
+    nbrs = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     live_nodes = nbrs.select("src").distinct()
     if vertices is not None:
         live_nodes = vertices.select(keyed(F.col(out_col)).alias("src")).distinct()
@@ -426,11 +432,16 @@ def pivot_clusters(
         min_nbr = live_edges.groupBy("src").agg(F.min("dst").alias("min_nbr"))
         # permutation-local minimum among live nodes: no live neighbor, or
         # every live neighbor later in the permutation
+        # checkpoints are LAZY: the round's single isEmpty() probe below is
+        # the one job that materializes this round's pivots, survivors, and
+        # pruned edge set together — eager checkpoints here cost ~4 job
+        # launches per round on the 1-3 s driver floor (measured 27.6 s →
+        # ~11 s warm at sf0.1 after fusing them).
         new_pivots = (
             live_nodes.join(min_nbr, "src", "left")
             .where(F.col("min_nbr").isNull() | (F.col("min_nbr") > F.col("src")))
             .select("src")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         pivot_parts.append(new_pivots)
         # live neighbors of new pivots are decided non-pivots — retire both
@@ -443,15 +454,15 @@ def pivot_clusters(
         )
         retired = new_pivots.unionByName(excluded)
         live_nodes = live_nodes.join(retired, "src", "left_anti").localCheckpoint(
-            eager=True
+            eager=False
         )
-        if live_nodes.isEmpty():
-            break
         live_edges = (
             live_edges.join(live_nodes, "src", "left_semi")
             .join(live_nodes.select(F.col("src").alias("dst")), "dst", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        if live_nodes.isEmpty():
+            break
     else:
         raise RuntimeError(f"pivot_clusters did not converge in {max_rounds} rounds")
     pivots = pivot_parts[0]
@@ -509,11 +520,18 @@ def threshold_clustering(
     ts = sorted(set(int(t) for t in thresholds))
     if not ts:
         raise ValueError("thresholds must be non-empty")
-    e = edges.select(
-        F.col(id_a_col).alias("ea"),
-        F.col(id_b_col).alias("eb"),
-        F.col(weight_col).alias("w"),
-    ).where(F.col("ea") != F.col("eb"))
+    # the weighted edge set feeds every level's band filter, the vertex
+    # derivation, and each level's closure — truncate lineage once so the
+    # upstream candidate computation (simhash/LSH joins) runs a single time.
+    e = (
+        edges.select(
+            F.col(id_a_col).alias("ea"),
+            F.col(id_b_col).alias("eb"),
+            F.col(weight_col).alias("w"),
+        )
+        .where(F.col("ea") != F.col("eb"))
+        .localCheckpoint(eager=False)
+    )
     # every endpoint must be covered from level 0 on, even if its first edge
     # only activates at a loose threshold — otherwise the contraction at
     # that level would have no representative to map it through.
