@@ -1354,6 +1354,20 @@ def _q_cluster_churn(spark, sf):
     )
 
 
+def _q_stable_cluster_ids(spark, sf):
+    """Persistent cluster identity across re-clustering: the exact-duplicate
+    clustering (old generation) mapped to the flagship fuzzy clustering (new
+    generation) — mutual-best overlap inherits the old id, splits/new
+    clusters mint (with the `+` collision rule). The table downstream
+    consumers key on when the clustering shifts under them."""
+    from repostcheckerbot_spark.operators.clustering import stable_cluster_ids
+
+    return stable_cluster_ids(
+        old_assign=_q_transcripts_exact_clusters(spark, sf),
+        new_assign=_q_transcripts_flagship_clusters(spark, sf),
+    )
+
+
 def _q_cluster_size_histogram(spark, sf):
     """ER reporting: the distribution of duplicate-cluster sizes over the
     exact-content clusters of the derived transcripts (size 1 = unique doc)."""
@@ -1424,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_clusters_simhash": _q_pivot_clusters_simhash,
         "threshold_cluster_ladder": _q_threshold_cluster_ladder,
         "threshold_merge_edges": _q_threshold_merge_edges,
+        "stable_cluster_ids": _q_stable_cluster_ids,
         "cluster_churn_counts": _q_cluster_churn,
         "transcripts_exact_clusters": _q_transcripts_exact_clusters,
         "transcripts_incremental_clusters": _q_transcripts_incremental_clusters,
@@ -1456,13 +1471,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "lsh_candidates": _q_lsh_candidates,
         "metablocking_pairs": _q_metablocking,
+        # r4 addition with no prior CORRECTNESS row — keep inside the
+        # harness's first-50 window (the trailing entries are all r3-green)
+        "monge_elkan_pairs": _q_monge_elkan_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "prefix_jaccard": _q_prefix_jaccard,
         "simhash": _q_simhash,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "simhash_near_pairs_manku": _q_simhash_near_pairs_manku,
         "jaro_winkler_pairs": _q_jaro_winkler_pairs,
-        "monge_elkan_pairs": _q_monge_elkan_pairs,
         "levenshtein_pairs": _q_levenshtein_pairs,
         "token_sort_pairs": _q_token_sort_pairs,
         "fs_linkage": _q_fs_linkage,
@@ -2010,6 +2027,58 @@ def _merge_edges_oracle() -> str:
         JOIN ladder la ON la.doc_id = CAST(e.doc_id_a AS VARCHAR) AND la.threshold = 7
         JOIN ladder lb ON lb.doc_id = CAST(e.doc_id_b AS VARCHAR) AND lb.threshold = 7
         WHERE ta.cluster_id <> tb.cluster_id AND la.cluster_id = lb.cluster_id
+    """
+
+
+def _stable_ids_oracle() -> str:
+    """stable_cluster_ids stated as SQL: exact clusters (old generation,
+    the same CTE the churn oracle uses) vs the referee's flagship relation
+    (new generation) — overlap counts, the mutual-top-1 double row_number
+    (count DESC, partner ASC ties — er.one_to_one_matches' frozen rule),
+    and the minted-id `+` collision CASE."""
+    return f"""
+        WITH {_TRANSCRIPT_FULL_CTE.strip()},
+        docs2 AS (
+          SELECT conv_id,
+                 md5(regexp_replace(string_agg(turn_text, chr(10) ORDER BY turn_idx), '\\s+', '', 'g')) AS h
+          FROM allturns
+          WHERE turn_text NOT IN ('&#x200B;', '', '[removed]', '[deleted]')
+          GROUP BY conv_id
+        ),
+        reps AS (SELECT h, min(conv_id) AS cluster_id FROM docs2 GROUP BY h),
+        oldc AS (SELECT d.conv_id, r.cluster_id FROM docs2 d JOIN reps r ON r.h = d.h),
+        newc AS (
+          SELECT conv_id, cluster_id
+          FROM (VALUES {_referee_values()}) t(conv_id, cluster_id)
+        ),
+        ov AS (
+          SELECT n.cluster_id AS cn, o.cluster_id AS co,
+                 CAST(count(*) AS BIGINT) AS n_overlap
+          FROM newc n JOIN oldc o ON n.conv_id = o.conv_id
+          GROUP BY 1, 2
+        ),
+        r AS (
+          SELECT cn, co, n_overlap,
+                 row_number() OVER (PARTITION BY cn ORDER BY n_overlap DESC, co) AS ra,
+                 row_number() OVER (PARTITION BY co ORDER BY n_overlap DESC, cn) AS rb
+          FROM ov
+        ),
+        best AS (SELECT cn, co, n_overlap FROM r WHERE ra = 1 AND rb = 1),
+        inh AS (
+          SELECT cn AS cluster_id_new, co AS stable_id,
+                 'inherited' AS status, n_overlap
+          FROM best
+        )
+        SELECT * FROM inh
+        UNION ALL
+        SELECT nc.cn AS cluster_id_new,
+               CASE WHEN i.stable_id IS NULL THEN nc.cn ELSE nc.cn || '+' END AS stable_id,
+               'minted' AS status, CAST(NULL AS BIGINT) AS n_overlap
+        FROM (
+          SELECT DISTINCT cluster_id AS cn FROM newc
+          WHERE cluster_id NOT IN (SELECT cn FROM best)
+        ) nc
+        LEFT JOIN inh i ON i.stable_id = nc.cn
     """
 
 
@@ -3471,6 +3540,7 @@ def oracle_sql() -> dict[str, str]:
         sql["er_pairwise_metrics"] = _pairwise_metrics_oracle()
         sql["er_bcubed_metrics"] = _bcubed_oracle()
         sql["cluster_churn_counts"] = _cluster_churn_oracle()
+        sql["stable_cluster_ids"] = _stable_ids_oracle()
     except Exception:  # noqa: BLE001
         pass
     # the Manku-combination candidate scheme is recall-1.0 by the same

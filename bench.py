@@ -115,6 +115,9 @@ def main() -> None:
         # scale-realistic DF cap (the oracled query uses the looser demo cap)
         ("fs_linkage", lambda: q["fs_linkage"](spark, SF_DIR).count()),
         ("tfidf_canopy", lambda: tfidf_canopy()),
+        # round-4 addition: the single-linkage dendrogram ladder (3 closures
+        # via contraction over the simhash near-dup graph)
+        ("threshold_ladder", lambda: q["threshold_cluster_ladder"](spark, SF_DIR).count()),
         ("decontamination", lambda: q["decontamination"](spark, SF_DIR).count()),
         ("bm25_scores", lambda: q["bm25_scores"](spark, SF_DIR).count()),
         ("pack_manifest", lambda: q["pack_manifest"](spark, SF_DIR).count()),

@@ -542,6 +542,16 @@ def threshold_clustering(
         verts = verts.unionByName(vertices.select(F.col(out_col)))
     verts = verts.distinct().localCheckpoint(eager=False)
 
+    # each level's closure gets its OWN checkpoint subdirectory — a shared
+    # dir would interleave the levels' cc_iter=NNNN parquet rounds and a
+    # resume would splice iterations from different closures together.
+    base_ckpt = cc_kwargs.pop("checkpoint_dir", None)
+
+    def level_kwargs(t: int) -> dict:
+        if base_ckpt is None:
+            return cc_kwargs
+        return {**cc_kwargs, "checkpoint_dir": f"{base_ckpt}/level={t}"}
+
     prev: DataFrame | None = None
     outs: list[DataFrame] = []
     lo = None
@@ -551,7 +561,9 @@ def threshold_clustering(
                 F.col("ea").alias("conv_id_a"), F.col("eb").alias("conv_id_b")
             )
             assign = connected_components(
-                lvl, vertices=verts.select(F.col(out_col).alias("conv_id")), **cc_kwargs
+                lvl,
+                vertices=verts.select(F.col(out_col).alias("conv_id")),
+                **level_kwargs(t),
             )
         else:
             band = e.where((F.col("w") > lo) & (F.col("w") <= t))
@@ -564,7 +576,9 @@ def threshold_clustering(
                 .where(F.col("conv_id_a") != F.col("conv_id_b"))
             )
             reps = prev.select(F.col("cluster_id").alias("conv_id")).distinct()
-            rep_assign = connected_components(contracted, vertices=reps, **cc_kwargs)
+            rep_assign = connected_components(
+                contracted, vertices=reps, **level_kwargs(t)
+            )
             assign = (
                 prev.withColumnRenamed("cluster_id", "rep")
                 .join(
@@ -636,3 +650,82 @@ def merge_responsible_edges(
             F.col("la").alias("merged_cluster"),
         )
     )
+
+
+def stable_cluster_ids(
+    old_assign: DataFrame,
+    new_assign: DataFrame,
+    node_col: str = "conv_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Persistent cluster identity across batches: map each NEW cluster to a
+    STABLE id — inherit the old cluster's id when the two are each other's
+    best overlap (mutual top-1 on shared-record count), mint a fresh id
+    otherwise. This is the operator that keeps downstream consumers (repost
+    report threads, golden-record keys) pointing at the same logical entity
+    while the clustering underneath it shifts — cluster_diff tells you WHAT
+    moved; this decides WHAT TO CALL the survivors. The reference keeps
+    identity implicitly (rows keyed by first-seen post id, database.py
+    insert-once semantics); batch re-clustering needs it explicit.
+
+    Rules (frozen, oracle-mirrored): overlap(new, old) = shared record
+    count; a new cluster inherits iff (new, old) is mutual-best
+    (er.one_to_one_matches — ties: higher count, then smaller partner id);
+    a non-inheriting cluster mints its own ``cluster_col`` value (already
+    the min member id under this repo's conventions), suffixed with ``+``
+    iff that value was just inherited by a DIFFERENT cluster (the
+    split-steals-the-name case) so stable ids stay unique. Contract: node
+    ids must not contain ``+``. Output: (cluster_id_new, stable_id,
+    status∈{inherited,minted}, n_overlap — NULL when minted).
+
+    Shape: one equi-join on record id (corpus-sized but 1:1), one groupBy on
+    (new, old) cluster pairs (≤ edge count of the overlap graph), two
+    row_number windows on near-uniform cluster keys, and one broadcast-sized
+    join against the inherited id set. No iteration, no driver state.
+    """
+    from repostcheckerbot_spark.operators.er import one_to_one_matches
+
+    old = old_assign.select(
+        F.col(node_col).alias("_n"), F.col(cluster_col).alias("cluster_id_old")
+    )
+    new = new_assign.select(
+        F.col(node_col).alias("_n"), F.col(cluster_col).alias("cluster_id_new")
+    )
+    overlap = (
+        new.join(old, "_n")
+        .groupBy("cluster_id_new", "cluster_id_old")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    best = one_to_one_matches(
+        overlap,
+        id_a_col="cluster_id_new",
+        id_b_col="cluster_id_old",
+        score_col="n_overlap",
+    ).localCheckpoint(eager=False)
+    inherited = best.select(
+        "cluster_id_new",
+        F.col("cluster_id_old").alias("stable_id"),
+        F.lit("inherited").alias("status"),
+        "n_overlap",
+    )
+    taken = inherited.select(
+        F.col("stable_id").alias("cluster_id_new"), F.lit(True).alias("_taken")
+    )
+    minted = (
+        new.select("cluster_id_new")
+        .distinct()
+        .join(best.select("cluster_id_new"), "cluster_id_new", "left_anti")
+        .join(F.broadcast(taken), "cluster_id_new", "left")
+        .select(
+            "cluster_id_new",
+            F.when(
+                F.col("_taken").isNotNull(),
+                F.concat(F.col("cluster_id_new"), F.lit("+")),
+            )
+            .otherwise(F.col("cluster_id_new"))
+            .alias("stable_id"),
+            F.lit("minted").alias("status"),
+            F.lit(None).cast("long").alias("n_overlap"),
+        )
+    )
+    return inherited.unionByName(minted)

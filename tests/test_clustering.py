@@ -317,3 +317,57 @@ def test_merge_responsible_edges_known_answer(spark):
         loose_assign=ladder.where(F.col("threshold") == 5).select("conv_id", "cluster_id"),
     ).collect()
     assert [tuple(r) for r in got] == [("b", "c", "a", "c", "a")]
+
+
+def test_stable_cluster_ids_inherit_mint_collision(spark):
+    """Mutual-best inheritance, a clean mint, and the split-steals-the-name
+    collision: old {a,b,c}='a'; new {b,c}='b' and {a}='a'. The bigger piece
+    'b' inherits 'a' (overlap 2 beats 1); the singleton '{a}' lost the
+    mutual-best, mints its own id 'a' — already inherited by the other
+    cluster, so it becomes 'a+'. Plus a disjoint pair that inherits cleanly
+    and a brand-new record that mints cleanly."""
+    from repostcheckerbot_spark.operators.clustering import stable_cluster_ids
+
+    old = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("p", "p"), ("q", "p")],
+        ["conv_id", "cluster_id"],
+    )
+    new = spark.createDataFrame(
+        [("a", "a"), ("b", "b"), ("c", "b"), ("p", "p"), ("q", "p"), ("z", "z")],
+        ["conv_id", "cluster_id"],
+    )
+    got = {
+        r.cluster_id_new: (r.stable_id, r.status, r.n_overlap)
+        for r in stable_cluster_ids(old, new).collect()
+    }
+    assert got == {
+        "b": ("a", "inherited", 2),
+        "p": ("p", "inherited", 2),
+        "a": ("a+", "minted", None),
+        "z": ("z", "minted", None),
+    }
+    assert len({v[0] for v in got.values()}) == len(got), "stable ids not unique"
+
+
+def test_threshold_clustering_checkpoint_per_level(spark, tmp_path):
+    """With a checkpoint_dir, each level's closure must land in its OWN
+    level=θ subdirectory (a shared dir would interleave cc_iter rounds from
+    different closures), and the result must equal the uncheckpointed run."""
+    import os
+
+    from repostcheckerbot_spark.operators.clustering import threshold_clustering
+
+    edges = [("a", "b", 1), ("b", "c", 4), ("x", "y", 4)]
+    e = spark.createDataFrame(edges, ["conv_id_a", "conv_id_b", "weight"])
+    ckpt = str(tmp_path / "ladder")
+    got = sorted(
+        map(tuple, threshold_clustering(e, [1, 4], checkpoint_dir=ckpt).collect())
+    )
+    want = sorted(map(tuple, threshold_clustering(e, [1, 4]).collect()))
+    assert got == want
+    levels = sorted(d for d in os.listdir(ckpt) if d.startswith("level="))
+    assert levels == ["level=1", "level=4"]
+    for lvl in levels:
+        assert any(
+            d.startswith("cc_iter=") for d in os.listdir(os.path.join(ckpt, lvl))
+        )
