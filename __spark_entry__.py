@@ -1354,6 +1354,17 @@ def _q_cluster_churn(spark, sf):
     )
 
 
+def _q_edge_triangle_support(spark, sf):
+    """Per-edge triangle support over the simhash near-dup graph — the
+    collective-ER evidence feature (borderline pairs with common match
+    neighbors are near-certain; support-0 strong pairs flag threshold
+    inconsistency). The per-edge refinement of near_dup_triangles."""
+    from repostcheckerbot_spark.operators.clustering import edge_triangle_support
+
+    edges = dedup_docs.simhash_near_pairs(load(spark, sf, "documents"), max_hamming=8)
+    return edge_triangle_support(edges, id_a_col="doc_id_a", id_b_col="doc_id_b")
+
+
 def _q_stable_cluster_ids(spark, sf):
     """Persistent cluster identity across re-clustering: the exact-duplicate
     clustering (old generation) mapped to the flagship fuzzy clustering (new
@@ -1439,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_cluster_ladder": _q_threshold_cluster_ladder,
         "threshold_merge_edges": _q_threshold_merge_edges,
         "stable_cluster_ids": _q_stable_cluster_ids,
+        "edge_triangle_support": _q_edge_triangle_support,
         "cluster_churn_counts": _q_cluster_churn,
         "transcripts_exact_clusters": _q_transcripts_exact_clusters,
         "transcripts_incremental_clusters": _q_transcripts_incremental_clusters,
@@ -3509,6 +3521,23 @@ def oracle_sql() -> dict[str, str]:
             FROM edges e1
             JOIN edges e2 ON e1.doc_id_b = e2.doc_id_a
             JOIN edges e3 ON e3.doc_id_a = e1.doc_id_a AND e3.doc_id_b = e2.doc_id_b
+        """,
+        # per-edge triangle support: common-neighbor count per candidate
+        # pair over the symmetrized near-dup graph, support-0 preserved
+        "edge_triangle_support": f"""
+            WITH e0 AS ({_SIMHASH_PAIRS_SQL}),
+            e AS (SELECT doc_id_a AS a, doc_id_b AS b FROM e0),
+            sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            sup AS (
+              SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS n_common
+              FROM e
+              JOIN sym na ON na.a = e.a
+              JOIN sym nb ON nb.a = e.b AND nb.b = na.b
+              GROUP BY e.a, e.b
+            )
+            SELECT e.a AS doc_id_a, e.b AS doc_id_b,
+                   CAST(coalesce(s.n_common, 0) AS BIGINT) AS n_common
+            FROM e LEFT JOIN sup s ON s.a = e.a AND s.b = e.b
         """,
     }
     # Data-dependent oracles: built by OFFLINE recomputation against

@@ -729,3 +729,49 @@ def stable_cluster_ids(
         )
     )
     return inherited.unionByName(minted)
+
+
+def edge_triangle_support(
+    edges: DataFrame,
+    id_a_col: str = "conv_id_a",
+    id_b_col: str = "conv_id_b",
+) -> DataFrame:
+    """Per-edge TRIANGLE SUPPORT — the collective-ER evidence feature: for
+    every candidate edge (a, b), how many nodes are matched to BOTH
+    endpoints in the same edge set. A borderline pair sharing several
+    common match-neighbors is near-certain (transitivity closes around it);
+    support 0 on a high-score pair flags a threshold inconsistency worth
+    clerical review. This is the per-edge refinement of the global
+    ``near_dup_triangles`` diagnostic (one number → a ranking signal), and
+    the k-truss building block.
+
+    Shape: symmetrize once, then two equi-joins hop (a→x) and (b→x) and a
+    groupBy on the pair — the standard distributed triangle enumeration;
+    cost is Σ_pairs |Γ(a) ∩ Γ(b)| work bounded by edge-mass × average
+    degree, the same bound as the triangle count the repo already runs. A
+    left join preserves support-0 edges. Output: (id_a, id_b, n_common).
+    """
+    e = edges.select(F.col(id_a_col).alias("a"), F.col(id_b_col).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    na = sym.select(F.col("a"), F.col("b").alias("x"))
+    nb = sym.select(F.col("a").alias("b"), F.col("b").alias("x"))
+    support = (
+        e.join(na, "a")
+        .join(nb, ["b", "x"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        e.join(support, ["a", "b"], "left")
+        .select(
+            F.col("a").alias(id_a_col),
+            F.col("b").alias(id_b_col),
+            F.coalesce(F.col("n_common"), F.lit(0).cast("long")).alias("n_common"),
+        )
+    )

@@ -371,3 +371,19 @@ def test_threshold_clustering_checkpoint_per_level(spark, tmp_path):
         assert any(
             d.startswith("cc_iter=") for d in os.listdir(os.path.join(ckpt, lvl))
         )
+
+
+def test_edge_triangle_support_known_answer(spark):
+    """Triangle a-b-c with pendant c-d: every triangle edge has support 1
+    (the third vertex), the pendant has support 0 and is preserved."""
+    from repostcheckerbot_spark.operators.clustering import edge_triangle_support
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        ["conv_id_a", "conv_id_b"],
+    )
+    got = {
+        (r.conv_id_a, r.conv_id_b): r.n_common
+        for r in edge_triangle_support(e).collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("a", "c"): 1, ("c", "d"): 0}
