@@ -1365,6 +1365,17 @@ def _q_edge_triangle_support(spark, sf):
     return edge_triangle_support(edges, id_a_col="doc_id_a", id_b_col="doc_id_b")
 
 
+def _q_ktruss_simhash(spark, sf):
+    """The 3-truss of the simhash near-dup graph: only edges closing at
+    least one triangle survive — the dense-core edge set a chaining-averse
+    clusterer builds on. Oracle = the sequential peel referee (the maximal
+    k-truss is unique, so simultaneous and one-at-a-time peeling agree)."""
+    from repostcheckerbot_spark.operators.clustering import ktruss_edges
+
+    edges = dedup_docs.simhash_near_pairs(load(spark, sf, "documents"), max_hamming=8)
+    return ktruss_edges(edges, k=3, id_a_col="doc_id_a", id_b_col="doc_id_b")
+
+
 def _q_stable_cluster_ids(spark, sf):
     """Persistent cluster identity across re-clustering: the exact-duplicate
     clustering (old generation) mapped to the flagship fuzzy clustering (new
@@ -1451,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_merge_edges": _q_threshold_merge_edges,
         "stable_cluster_ids": _q_stable_cluster_ids,
         "edge_triangle_support": _q_edge_triangle_support,
+        "ktruss_simhash": _q_ktruss_simhash,
         "cluster_churn_counts": _q_cluster_churn,
         "transcripts_exact_clusters": _q_transcripts_exact_clusters,
         "transcripts_incremental_clusters": _q_transcripts_incremental_clusters,
@@ -2091,6 +2103,37 @@ def _stable_ids_oracle() -> str:
           WHERE cluster_id NOT IN (SELECT cn FROM best)
         ) nc
         LEFT JOIN inh i ON i.stable_id = nc.cn
+    """
+
+
+def _ktruss_oracle() -> str:
+    """ktruss_simhash value oracle: DuckDB recomputes the simhash edge set
+    offline (the hash-green simhash_near_pairs SQL), the sequential peel
+    (referee.ktruss_sequential) extracts the unique maximal 3-truss, and the
+    surviving edges embed as a VALUES literal. Emitted in the Spark side's
+    canonical doc_id_a < doc_id_b orientation (simhash pairs are built
+    a < b, and peeling never reorients)."""
+    import duckdb
+
+    from repostcheckerbot_spark.operators.referee import ktruss_sequential
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{_ORACLE_SF_DIR}/documents.parquet'"
+    )
+    # ints, not strings: the canonical a < b orientation must be NUMERIC to
+    # match the Spark side's long doc_ids (lexicographic '10' < '9' differs)
+    edges = [
+        (int(a), int(b)) for a, b, _h in con.execute(_SIMHASH_PAIRS_SQL).fetchall()
+    ]
+    con.close()
+    rows = ktruss_sequential(edges, 3)
+    if not rows:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id_a, CAST(NULL AS BIGINT) AS doc_id_b WHERE FALSE"
+    values = ",\n              ".join(f"({a}, {b})" for a, b in rows)
+    return f"""
+        SELECT CAST(doc_id_a AS BIGINT) AS doc_id_a, CAST(doc_id_b AS BIGINT) AS doc_id_b
+        FROM (VALUES {values}) t(doc_id_a, doc_id_b)
     """
 
 
@@ -3557,6 +3600,10 @@ def oracle_sql() -> dict[str, str]:
         pass
     try:
         sql["pivot_clusters_simhash"] = _pivot_oracle()
+    except Exception:  # noqa: BLE001 — missing/corrupt local testdata only
+        pass
+    try:
+        sql["ktruss_simhash"] = _ktruss_oracle()
     except Exception:  # noqa: BLE001 — missing/corrupt local testdata only
         pass
     try:

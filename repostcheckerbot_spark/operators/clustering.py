@@ -775,3 +775,56 @@ def edge_triangle_support(
             F.coalesce(F.col("n_common"), F.lit(0).cast("long")).alias("n_common"),
         )
     )
+
+
+def ktruss_edges(
+    edges: DataFrame,
+    k: int,
+    id_a_col: str = "conv_id_a",
+    id_b_col: str = "conv_id_b",
+    max_rounds: int = 60,
+) -> DataFrame:
+    """The k-TRUSS of the match graph: the (unique) maximal subgraph in
+    which every edge closes at least k−2 triangles — the standard dense-core
+    extraction that resists the chaining CC suffers and the over-splitting
+    one-hop stars suffer (Cohen, "Trusses: cohesive subgraphs for social
+    network analysis", 2008 — public definition). ER use: clusters built on
+    truss-surviving edges need every pair to carry transitive evidence, so
+    one spurious borderline match cannot bridge two real entities.
+
+    Algorithm: simultaneous peeling — per round recompute per-edge triangle
+    support (edge_triangle_support: two equi-joins + groupBy) and drop every
+    edge below k−2, until the edge count is stable. The k-truss is
+    order-independent (the maximal subgraph is unique), so simultaneous
+    peeling, sequential peeling, and the offline referee all converge to the
+    SAME edge set — which is what makes the VALUES-literal oracle exact.
+    Round count is bounded by the peel depth (≤ longest chain of support
+    collapses); each round is one triangle enumeration over a shrinking
+    edge set, lineage truncated by the count probe's lazy checkpoint.
+    Exceeding ``max_rounds`` raises rather than returning a partial truss.
+    """
+    if k < 3:
+        raise ValueError("k-truss is defined for k >= 3")
+    cur = (
+        edges.select(F.col(id_a_col).alias("a"), F.col(id_b_col).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = cur.count()
+    for _ in range(max_rounds):
+        if n == 0:
+            break
+        sup = edge_triangle_support(cur, id_a_col="a", id_b_col="b")
+        cur = (
+            sup.where(F.col("n_common") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+        n2 = cur.count()
+        if n2 == n:
+            break
+        n = n2
+    else:
+        raise RuntimeError(f"ktruss_edges did not converge in {max_rounds} rounds")
+    return cur.select(F.col("a").alias(id_a_col), F.col("b").alias(id_b_col))

@@ -219,3 +219,25 @@ def single_linkage_levels(
                 parent[ra] = rb
         out.extend((n, t, find(n)) for n in all_nodes)
     return sorted(out)
+
+
+def ktruss_sequential(
+    edges: list[tuple[str, str]], k: int
+) -> list[tuple[str, str]]:
+    """Sequential referee for ``clustering.ktruss_edges``: textbook peeling —
+    repeatedly delete ANY edge with fewer than k−2 common neighbors until
+    none remains. The maximal k-truss is unique (order-independent), so this
+    one-at-a-time loop and Spark's simultaneous peel must return the same
+    edge set. Returns the surviving edges as sorted canonical (min, max)
+    pairs."""
+    cur = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    changed = True
+    while changed and cur:
+        adj: dict[str, set[str]] = {}
+        for a, b in cur:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        drop = {(a, b) for a, b in cur if len(adj[a] & adj[b]) < k - 2}
+        changed = bool(drop)
+        cur -= drop
+    return sorted(cur)

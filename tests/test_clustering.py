@@ -387,3 +387,29 @@ def test_edge_triangle_support_known_answer(spark):
         for r in edge_triangle_support(e).collect()
     }
     assert got == {("a", "b"): 1, ("b", "c"): 1, ("a", "c"): 1, ("c", "d"): 0}
+
+
+def test_ktruss_matches_sequential_referee(spark):
+    """Simultaneous peeling must equal the one-at-a-time referee (the
+    maximal k-truss is unique) on a known graph and on random graphs, for
+    k=3 and k=4."""
+    from repostcheckerbot_spark.operators.clustering import ktruss_edges
+    from repostcheckerbot_spark.operators.referee import ktruss_sequential
+
+    known = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"),
+             ("w", "x"), ("x", "y"), ("y", "z"), ("w", "z")]
+    cases = [known]
+    for seed in (1, 2):
+        rng = random.Random(seed)
+        nodes = [f"n{i:02d}" for i in range(40)]
+        cases.append(
+            [tuple(sorted(rng.sample(nodes, 2))) for _ in range(160)]
+        )
+    for edges in cases:
+        e = spark.createDataFrame(edges, ["conv_id_a", "conv_id_b"])
+        for k in (3, 4):
+            got = sorted(
+                (min(r.conv_id_a, r.conv_id_b), max(r.conv_id_a, r.conv_id_b))
+                for r in ktruss_edges(e, k).collect()
+            )
+            assert got == ktruss_sequential(edges, k), f"k={k}"
