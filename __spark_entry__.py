@@ -1454,6 +1454,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_cascade_matches": _q_rule_cascade,
         "fs_threshold_sweep": _q_fs_threshold_sweep,
         "fs_uncertainty_queue": _q_fs_uncertainty_queue,
+        # r4 additions with no prior CORRECTNESS row — keep inside the
+        # harness's first-50 window (the trailing entries are all r3-green)
+        "monge_elkan_pairs": _q_monge_elkan_pairs,
+        "metablocking_pairs": _q_metablocking,
         "ngram_containment": _q_ngram_containment,
         "clean_clean_linkage": _q_clean_clean_linkage,
         "star_clusters_simhash": _q_star_clusters_simhash,
@@ -1494,10 +1498,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "placeholder_filter_counts": _q_placeholder_filter_counts,
         "minhash_signatures": _q_minhash_signatures,
         "lsh_candidates": _q_lsh_candidates,
-        "metablocking_pairs": _q_metablocking,
-        # r4 addition with no prior CORRECTNESS row — keep inside the
-        # harness's first-50 window (the trailing entries are all r3-green)
-        "monge_elkan_pairs": _q_monge_elkan_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "prefix_jaccard": _q_prefix_jaccard,
         "simhash": _q_simhash,

@@ -63,3 +63,70 @@ def test_oph_signature_is_set_function(hv):
     s1 = _oph_signature(a, 16)
     s2 = _oph_signature(shuffled, 16)
     assert (s1 == s2).all()
+
+
+# ----- graph-referee algebra (the sequential definitions the Spark
+# clustering operators are oracled against) -----
+
+_node_ids = st.integers(min_value=0, max_value=30).map(lambda i: f"v{i:02d}")
+_edge_lists = st.lists(
+    st.tuples(_node_ids, _node_ids), min_size=0, max_size=60
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(edges=_edge_lists)
+def test_kwikcluster_structural_invariants(edges):
+    from repostcheckerbot_spark.operators.referee import kwikcluster_sequential
+
+    nodes = sorted({x for p in edges for x in p})
+    got = dict(kwikcluster_sequential(nodes, edges))
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    assert set(got) == set(nodes)
+    pivots = set(got.values())
+    for p in pivots:
+        assert not (adj[p] & pivots)  # independent set
+    for n, c in got.items():
+        assert n == c or c in adj[n]  # one hop from the pivot
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(_node_ids, _node_ids, st.integers(min_value=0, max_value=9)),
+        max_size=60,
+    )
+)
+def test_single_linkage_levels_nesting(edges):
+    from repostcheckerbot_spark.operators.referee import single_linkage_levels
+
+    rows = single_linkage_levels([], edges, [2, 5, 9])
+    by_t = {}
+    for n, t, c in rows:
+        by_t.setdefault(t, {})[n] = c
+    for tight, loose in ((2, 5), (5, 9)):
+        rep = {}
+        for n, c in by_t.get(tight, {}).items():
+            if c in rep:
+                assert by_t[loose][n] == rep[c]  # monotone nesting
+            else:
+                rep[c] = by_t[loose][n]
+
+
+@settings(max_examples=100, deadline=None)
+@given(edges=_edge_lists, k=st.integers(min_value=3, max_value=5))
+def test_ktruss_fixpoint_and_idempotent(edges, k):
+    from repostcheckerbot_spark.operators.referee import ktruss_sequential
+
+    out = ktruss_sequential(edges, k)
+    adj = {}
+    for a, b in out:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for a, b in out:
+        assert len(adj[a] & adj[b]) >= k - 2  # fixpoint
+    assert ktruss_sequential(out, k) == out  # idempotent
