@@ -1376,6 +1376,29 @@ def _q_ktruss_simhash(spark, sf):
     return ktruss_edges(edges, k=3, id_a_col="doc_id_a", id_b_col="doc_id_b")
 
 
+def _q_truss_clusters(spark, sf):
+    """End-to-end chaining-resistant clustering: connected components over
+    the 3-truss edge set — every surviving edge carries triangle evidence,
+    so one spurious borderline match cannot bridge two real entities.
+    Singletons (docs with no truss edge) self-cluster. String ids (the CC
+    min-id convention)."""
+    from repostcheckerbot_spark.operators.clustering import (
+        connected_components,
+        ktruss_edges,
+    )
+
+    d = load(spark, sf, "documents")
+    edges = dedup_docs.simhash_near_pairs(d, max_hamming=8)
+    truss = ktruss_edges(edges, k=3, id_a_col="doc_id_a", id_b_col="doc_id_b")
+    return connected_components(
+        truss.select(
+            F.col("doc_id_a").cast("string").alias("conv_id_a"),
+            F.col("doc_id_b").cast("string").alias("conv_id_b"),
+        ),
+        vertices=d.select(F.col("doc_id").cast("string").alias("conv_id")),
+    ).select(F.col("conv_id").alias("doc_id"), "cluster_id")
+
+
 def _q_stable_cluster_ids(spark, sf):
     """Persistent cluster identity across re-clustering: the exact-duplicate
     clustering (old generation) mapped to the flagship fuzzy clustering (new
@@ -1467,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stable_cluster_ids": _q_stable_cluster_ids,
         "edge_triangle_support": _q_edge_triangle_support,
         "ktruss_simhash": _q_ktruss_simhash,
+        "truss_clusters": _q_truss_clusters,
         "cluster_churn_counts": _q_cluster_churn,
         "transcripts_exact_clusters": _q_transcripts_exact_clusters,
         "transcripts_incremental_clusters": _q_transcripts_incremental_clusters,
@@ -2134,6 +2158,38 @@ def _ktruss_oracle() -> str:
     return f"""
         SELECT CAST(doc_id_a AS BIGINT) AS doc_id_a, CAST(doc_id_b AS BIGINT) AS doc_id_b
         FROM (VALUES {values}) t(doc_id_a, doc_id_b)
+    """
+
+
+def _truss_clusters_oracle() -> str:
+    """truss_clusters value oracle: sequential peel (ktruss_sequential) over
+    the DuckDB-recomputed edge set, then the sequential min-id union-find
+    (single_linkage_levels at one threshold — same frozen algebra as the
+    ladder oracle) over the surviving edges plus every doc as a vertex,
+    embedded as a VALUES literal. String ids, lexicographic min roots —
+    the CC convention."""
+    import duckdb
+
+    from repostcheckerbot_spark.operators.referee import (
+        ktruss_sequential,
+        single_linkage_levels,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{_ORACLE_SF_DIR}/documents.parquet'"
+    )
+    edges = [
+        (int(a), int(b)) for a, b, _h in con.execute(_SIMHASH_PAIRS_SQL).fetchall()
+    ]
+    nodes = [str(i) for (i,) in con.execute("SELECT doc_id FROM documents").fetchall()]
+    con.close()
+    truss = [(str(a), str(b), 0) for a, b in ktruss_sequential(edges, 3)]
+    rows = single_linkage_levels(nodes, truss, [0])
+    values = ",\n              ".join(f"('{n}', '{c}')" for n, _t, c in rows)
+    return f"""
+        SELECT doc_id, cluster_id
+        FROM (VALUES {values}) t(doc_id, cluster_id)
     """
 
 
@@ -3604,6 +3660,7 @@ def oracle_sql() -> dict[str, str]:
         pass
     try:
         sql["ktruss_simhash"] = _ktruss_oracle()
+        sql["truss_clusters"] = _truss_clusters_oracle()
     except Exception:  # noqa: BLE001 — missing/corrupt local testdata only
         pass
     try:
