@@ -379,6 +379,29 @@ def _q_fs_uncertainty_queue(spark, sf):
     )
 
 
+def _q_blocking_scheme_report(spark, sf):
+    """Blocking-ensemble evaluation over the dirty record set: candidate
+    cost (Σ n·(n−1)/2 from block-size histograms — no pair materialization)
+    and truth completeness per scheme. nation = the production block;
+    name_lower = the promoted key; soundex_name degenerates on this corpus
+    (uniform letter skeleton → one giant block: quadratic cost, perfect
+    completeness — exactly what the report exists to expose); bal_floor
+    splits truth pairs whose +0.5 shift crosses an integer."""
+    from repostcheckerbot_spark.operators.er import blocking_scheme_report, phonetic_key
+
+    recs = _fs_records(spark, sf)
+    truth = recs.where(F.col("rec_id") % 2 == 0).select(
+        F.col("rec_id").alias("id_a"), (F.col("rec_id") + 1).alias("id_b")
+    )
+    schemes = {
+        "nation": F.col("nat"),
+        "name_lower": F.lower(F.col("name")),
+        "soundex_name": phonetic_key("name"),
+        "bal_floor": F.floor(F.col("bal")),
+    }
+    return blocking_scheme_report(recs, schemes, truth)
+
+
 def _q_fs_decision_counts(spark, sf):
     """The Fellegi–Sunter THREE-WAY decision rule (match above the upper
     threshold, clerical-review band between, non-match below) over every
@@ -1481,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # harness's first-50 window (the trailing entries are all r3-green)
         "monge_elkan_pairs": _q_monge_elkan_pairs,
         "metablocking_pairs": _q_metablocking,
+        "blocking_scheme_report": _q_blocking_scheme_report,
         "ngram_containment": _q_ngram_containment,
         "clean_clean_linkage": _q_clean_clean_linkage,
         "star_clusters_simhash": _q_star_clusters_simhash,
@@ -1737,6 +1761,72 @@ def _fs_uncertainty_oracle() -> str:
         FROM u
         ORDER BY uncertainty_micros, rec_id_a, rec_id_b
         LIMIT 100
+    """
+
+
+def _blocking_report_oracle() -> str:
+    """blocking_scheme_report stated as SQL: the recs CTE, one keyed
+    relation per scheme (soundex via the same upper/translate/regexp
+    algebra as phonetic_keys), Σ n·(n−1)/2 over each key histogram, truth
+    coverage by double key lookup, completeness as floored micros — all
+    integers."""
+
+    def block(name: str) -> str:
+        return f"""
+        SELECT '{name}' AS scheme,
+               (SELECT CAST(count(*) AS BIGINT)
+                  FROM (SELECT 1 FROM k_{name} GROUP BY k)) AS n_blocks,
+               (SELECT CAST(coalesce(sum(n * (n - 1) / 2), 0) AS BIGINT)
+                  FROM (SELECT count(*) AS n FROM k_{name} GROUP BY k)) AS n_candidate_pairs,
+               (SELECT CAST(count(*) AS BIGINT)
+                  FROM truth t
+                  JOIN k_{name} a ON a.rec_id = t.ta
+                  JOIN k_{name} b ON b.rec_id = t.tb AND b.k = a.k) AS n_truth_covered,
+               (SELECT CAST(floor(
+                   (SELECT count(*) FROM truth t
+                     JOIN k_{name} a ON a.rec_id = t.ta
+                     JOIN k_{name} b ON b.rec_id = t.tb AND b.k = a.k) * 1000000.0
+                   / (SELECT count(*) FROM truth)) AS BIGINT)) AS completeness_micros
+        """
+
+    return f"""
+        WITH {_FS_RECS_CTE.strip()},
+        truth AS (SELECT rec_id AS ta, rec_id + 1 AS tb FROM recs WHERE rec_id % 2 = 0),
+        k_nation AS (
+          SELECT rec_id, CAST(nat AS VARCHAR) AS k FROM recs WHERE nat IS NOT NULL
+        ),
+        k_name_lower AS (
+          SELECT rec_id, lower(name) AS k FROM recs WHERE name IS NOT NULL
+        ),
+        sx0 AS (
+          SELECT rec_id, upper(regexp_replace(name, '[^A-Za-z]', '', 'g')) AS uu
+          FROM recs WHERE name IS NOT NULL
+        ),
+        sx1 AS (
+          SELECT rec_id, substr(uu, 1, 1) AS first,
+                 translate(uu, 'ABCDEFGIJKLMNOPQRSTUVXYZHW', '012301202245501262301202') AS d
+          FROM sx0 WHERE length(uu) > 0
+        ),
+        sx2 AS (
+          SELECT rec_id, first,
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   d, '1{{2,}}', '1', 'g'), '2{{2,}}', '2', 'g'), '3{{2,}}', '3', 'g'),
+                   '4{{2,}}', '4', 'g'), '5{{2,}}', '5', 'g'), '6{{2,}}', '6', 'g') AS d
+          FROM sx1
+        ),
+        k_soundex_name AS (
+          SELECT rec_id,
+                 first || rpad(substr(regexp_replace(substr(d, 2, 1000000), '0', '', 'g'), 1, 3), 3, '0') AS k
+          FROM sx2
+        ),
+        k_bal_floor AS (
+          SELECT rec_id, CAST(CAST(floor(bal) AS BIGINT) AS VARCHAR) AS k
+          FROM recs WHERE bal IS NOT NULL
+        )
+        {block("nation")}
+        UNION ALL {block("name_lower")}
+        UNION ALL {block("soundex_name")}
+        UNION ALL {block("bal_floor")}
     """
 
 
@@ -3402,6 +3492,7 @@ def oracle_sql() -> dict[str, str]:
         # the same scored-pair CTE as fs_linkage
         "fs_decision_counts": _fs_decision_oracle(),
         "fs_uncertainty_queue": _fs_uncertainty_oracle(),
+        "blocking_scheme_report": _blocking_report_oracle(),
         # blocking-quality metrics over the same dirty record CTE, blocked on
         # seg — all-integer counts and millionths floors
         "blocking_metrics": """

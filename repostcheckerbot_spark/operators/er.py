@@ -972,3 +972,72 @@ def uncertainty_queue(
         score_col,
         "uncertainty_micros",
     )
+
+
+def blocking_scheme_report(
+    records: DataFrame,
+    schemes: dict[str, "F.Column"],
+    truth_pairs: DataFrame,
+    id_col: str = "rec_id",
+) -> DataFrame:
+    """Blocking-ensemble evaluation: one row per candidate blocking scheme
+    with the two numbers every blocking decision trades off — COST
+    (candidate pairs the scheme would generate) and COMPLETENESS (labeled
+    truth pairs whose records share a key). The report is how a deployment
+    picks its block_cols BEFORE paying for scoring, and it exposes
+    degenerate schemes (a key that collapses to one giant block shows as a
+    quadratic pair count with perfect completeness).
+
+    Cost is computed from BLOCK SIZES (Σ n·(n−1)/2 over the key histogram)
+    — the pair space is never materialized, so reporting on a scheme is
+    groupBy-cheap even when running it would be quadratic-expensive. NULL
+    keys block nothing (standard semantics: a record with no key joins no
+    block). Output per scheme: (scheme, n_blocks, n_candidate_pairs,
+    n_truth_covered, completeness_micros = floor(covered·10⁶ / n_truth)).
+
+    Shape per scheme: one groupBy on the key column + two broadcast-sized
+    joins of the truth pairs against the keyed records; schemes union into
+    one small report frame. All-integer output (oracle-exact).
+    """
+    truth = truth_pairs.select(
+        F.col(truth_pairs.columns[0]).alias("_ta"),
+        F.col(truth_pairs.columns[1]).alias("_tb"),
+    ).localCheckpoint(eager=False)
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n")).select("n")
+    parts: list[DataFrame] = []
+    for name, key_expr in schemes.items():
+        keyed = records.select(
+            F.col(id_col).alias("_id"), key_expr.cast("string").alias("_key")
+        ).where(F.col("_key").isNotNull())
+        hist = keyed.groupBy("_key").agg(F.count(F.lit(1)).alias("n"))
+        cost = hist.agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("n_candidate_pairs"),
+        )
+        ka = keyed.select(F.col("_id").alias("_ta"), F.col("_key").alias("_ka"))
+        kb = keyed.select(F.col("_id").alias("_tb"), F.col("_key").alias("_kb"))
+        covered = (
+            truth.join(ka, "_ta")
+            .join(kb, "_tb")
+            .where(F.col("_ka") == F.col("_kb"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_truth_covered"))
+        )
+        parts.append(
+            cost.crossJoin(covered)
+            .crossJoin(n_truth)
+            .select(
+                F.lit(name).alias("scheme"),
+                F.coalesce("n_blocks", F.lit(0).cast("long")).alias("n_blocks"),
+                F.coalesce("n_candidate_pairs", F.lit(0).cast("long")).alias(
+                    "n_candidate_pairs"
+                ),
+                "n_truth_covered",
+                F.floor(F.col("n_truth_covered") * 1_000_000 / F.col("n"))
+                .cast("long")
+                .alias("completeness_micros"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -621,3 +621,41 @@ def test_uncertainty_queue_prefilter_lossless_and_deterministic(spark):
     # the two planted ±100 pairs tie on uncertainty; id order decides
     top2 = [(r.rec_id_a, r.uncertainty_micros) for r in blocked[:2]]
     assert top2 == [(9000, 100), (9002, 100)]
+
+
+def test_blocking_scheme_report_known_answer(spark):
+    """Cost from block sizes, completeness against truth, NULL keys block
+    nothing, degenerate one-block scheme shows quadratic cost with perfect
+    completeness."""
+    from pyspark.sql import functions as F
+
+    from repostcheckerbot_spark.operators.er import blocking_scheme_report
+
+    recs = spark.createDataFrame(
+        [
+            (0, "x", "ann"), (1, "x", "ann"),      # truth pair, same city
+            (2, "y", "bob"), (3, "x", "bob"),      # truth pair, split cities
+            (4, None, "eve"), (5, None, "eve"),    # truth pair, NULL city
+        ],
+        ["rec_id", "city", "name"],
+    )
+    truth = recs.where(F.col("rec_id") % 2 == 0).select(
+        F.col("rec_id").alias("id_a"), (F.col("rec_id") + 1).alias("id_b")
+    )
+    got = {
+        r.scheme: (r.n_blocks, r.n_candidate_pairs, r.n_truth_covered, r.completeness_micros)
+        for r in blocking_scheme_report(
+            recs,
+            {"city": F.col("city"), "name": F.col("name"), "all": F.lit(1)},
+            truth,
+        ).collect()
+    }
+    assert got == {
+        # city: blocks x={0,1,3} (3 pairs), y={2} (0); NULL rows 4,5 excluded;
+        # covers only (0,1) → 1/3
+        "city": (2, 3, 1, 333333),
+        # name: three blocks of 2, covers all three pairs
+        "name": (3, 3, 3, 1000000),
+        # degenerate: one block of 6 → C(6,2)=15 pairs, perfect completeness
+        "all": (1, 15, 3, 1000000),
+    }

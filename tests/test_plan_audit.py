@@ -51,6 +51,10 @@ ALLOWED_BNLJ = {
     # aggregate (broadcast-scalar shape); the sweep itself is the tiny
     # bin-explode equi-join, never per-threshold scans.
     "fs_threshold_sweep",
+    # blocking_scheme_report: per-scheme cross joins of ONE-ROW cost /
+    # coverage / truth-count aggregates (broadcast-scalar shape); the pair
+    # space itself is never materialized (cost comes from the key histogram).
+    "blocking_scheme_report",
 }
 
 #: queries that EXECUTE jobs while building (full pipeline / iterative CC) —
