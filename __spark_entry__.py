@@ -1338,14 +1338,32 @@ def _q_threshold_merge_edges(spark, sf):
     endpoints are split at hamming ≤ 1 but merged at hamming ≤ 7 — the
     causal counterpart of cluster_churn (records). Reuses the ladder's two
     cuts; edge list joined 4× against the assignments, no iteration."""
-    from repostcheckerbot_spark.operators.clustering import merge_responsible_edges
-
-    ladder = _q_threshold_cluster_ladder(spark, sf).localCheckpoint(eager=False)
-    edges = dedup_docs.simhash_near_pairs(load(spark, sf, "documents"), max_hamming=8).select(
-        F.col("doc_id_a").cast("string").alias("doc_id_a"),
-        F.col("doc_id_b").cast("string").alias("doc_id_b"),
-        F.col("hamming"),
+    from repostcheckerbot_spark.operators.clustering import (
+        merge_responsible_edges,
+        threshold_clustering,
     )
+
+    d = load(spark, sf, "documents")
+    # ONE simhash pass feeds both the ladder and the edge list (the ladder
+    # query would otherwise recompute the banded join — measured ~4 s at
+    # sf0.1); threshold_clustering checkpoints its own copy internally.
+    edges = (
+        dedup_docs.simhash_near_pairs(d, max_hamming=8)
+        .select(
+            F.col("doc_id_a").cast("string").alias("doc_id_a"),
+            F.col("doc_id_b").cast("string").alias("doc_id_b"),
+            F.col("hamming"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ladder = threshold_clustering(
+        edges.withColumnRenamed("hamming", "weight"),
+        thresholds=[1, 4, 7],
+        id_a_col="doc_id_a",
+        id_b_col="doc_id_b",
+        vertices=d.select(F.col("doc_id").cast("string").alias("doc_id")),
+        out_col="doc_id",
+    ).localCheckpoint(eager=False)
     return merge_responsible_edges(
         edges,
         tight_assign=ladder.where(F.col("threshold") == 1).select("doc_id", "cluster_id"),
