@@ -547,6 +547,71 @@ def threshold_clustering(
     # resume would splice iterations from different closures together.
     base_ckpt = cc_kwargs.pop("checkpoint_dir", None)
 
+    # Bounded driver fast path, same hybrid discipline as
+    # connected_components: when the WEIGHTED edge set fits the explicit
+    # bound, ONE limit-collect replaces |thresholds| sequential closure
+    # jobs (each paying the 1-3 s driver floor) — per-threshold union-find
+    # on the collected rows, one createDataFrame, singletons joined lazily.
+    # This is operator code, NOT the referee (the oracle's independence
+    # argument requires referee.single_linkage_levels to stay unshared).
+    # small_graph_threshold=0 forces the distributed contraction path;
+    # tests assert both paths produce identical ladders.
+    small = cc_kwargs.get("small_graph_threshold", 100_000)
+    if base_ckpt is None:
+        rows = e.limit(small + 1).collect()
+        if len(rows) <= small:
+            from pyspark.sql import types as T
+
+            spark = edges.sparkSession
+            node_set = sorted({r["ea"] for r in rows} | {r["eb"] for r in rows})
+            data: list[tuple] = []
+            for t in ts:
+                parent: dict = {}
+
+                def find(x):
+                    root = x
+                    while parent.get(root, root) != root:
+                        root = parent[root]
+                    while parent.get(x, x) != root:
+                        parent[x], x = root, parent[x]
+                    return root
+
+                for r in rows:
+                    if r["w"] > t:
+                        continue
+                    ra, rb = find(r["ea"]), find(r["eb"])
+                    if ra == rb:
+                        continue
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+                data.extend((n, t, find(n)) for n in node_set)
+            id_type = e.schema["ea"].dataType
+            schema = T.StructType(
+                [
+                    T.StructField(out_col, id_type),
+                    T.StructField("threshold", T.IntegerType(), False),
+                    T.StructField("cluster_id", id_type),
+                ]
+            )
+            assign = spark.createDataFrame(data, schema)
+            nodes_df = spark.createDataFrame(
+                [(n,) for n in node_set],
+                T.StructType([T.StructField(out_col, id_type)]),
+            )
+            singles = (
+                verts.join(nodes_df, out_col, "left_anti")
+                .withColumn(
+                    "threshold",
+                    F.explode(F.array(*[F.lit(t).cast("int") for t in ts])),
+                )
+                .withColumn("cluster_id", F.col(out_col))
+            )
+            return assign.unionByName(
+                singles.select(out_col, "threshold", "cluster_id")
+            )
+
     def level_kwargs(t: int) -> dict:
         if base_ckpt is None:
             return cc_kwargs

@@ -413,3 +413,32 @@ def test_ktruss_matches_sequential_referee(spark):
                 for r in ktruss_edges(e, k).collect()
             )
             assert got == ktruss_sequential(edges, k), f"k={k}"
+
+
+def test_threshold_clustering_fast_and_distributed_identical(spark):
+    """The bounded driver fast path (one collect + per-threshold union-find)
+    and the distributed contraction path must produce IDENTICAL ladders,
+    including singletons from the vertex frame."""
+    from repostcheckerbot_spark.operators.clustering import threshold_clustering
+
+    rng = random.Random(11)
+    nodes = [f"f{i:03d}" for i in range(80)]
+    edges = [
+        (min(a, b), max(a, b), rng.randint(0, 8))
+        for a, b in (rng.sample(nodes, 2) for _ in range(110))
+    ]
+    e = spark.createDataFrame(edges, ["conv_id_a", "conv_id_b", "weight"])
+    v = spark.createDataFrame([(n,) for n in nodes + ["solo"]], ["conv_id"])
+    fast = sorted(
+        map(tuple, threshold_clustering(e, [2, 6], vertices=v).collect())
+    )
+    slow = sorted(
+        map(
+            tuple,
+            threshold_clustering(
+                e, [2, 6], vertices=v, small_graph_threshold=0
+            ).collect(),
+        )
+    )
+    assert fast == slow
+    assert ("solo", 2, "solo") in fast and ("solo", 6, "solo") in fast
