@@ -361,6 +361,7 @@ def pivot_clusters(
     vertices: DataFrame | None = None,
     out_col: str = "conv_id",
     max_rounds: int = 60,
+    small_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """Greedy PIVOT correlation clustering — KwikCluster (Ailon, Charikar &
     Newman, STOC'05 — public algorithm) with the random permutation
@@ -423,6 +424,43 @@ def pivot_clusters(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # Bounded driver fast path (the same hybrid discipline as
+    # connected_components / threshold_clustering): when the keyed edge set
+    # fits the explicit bound, ONE limit-collect replaces the per-MIS-round
+    # jobs — the greedy loop runs on the driver in permutation order, and
+    # vertex singletons join lazily (vertices are never collected). This is
+    # operator code written independently of referee.kwikcluster_sequential
+    # (the oracle's independence argument); tests assert fast path, MIS
+    # path, and referee all agree. small_graph_threshold=0 forces MIS.
+    e_dir = e.distinct().localCheckpoint(eager=False)
+    rows = e_dir.limit(small_graph_threshold + 1).collect()
+    if len(rows) <= small_graph_threshold:
+        spark = edges.sparkSession
+        adj: dict[str, set] = {}
+        for r in rows:
+            adj.setdefault(r["src"], set()).add(r["dst"])
+            adj.setdefault(r["dst"], set()).add(r["src"])
+        assigned: dict[str, str] = {}
+        for n in sorted(adj):  # keyed order IS the md5 permutation
+            if n in assigned:
+                continue
+            assigned[n] = n
+            for m in adj[n]:
+                if m not in assigned:
+                    assigned[m] = n
+        data = [(k[33:], p[33:]) for k, p in sorted(assigned.items())]
+        out = spark.createDataFrame(
+            data, f"{out_col} string, cluster_id string"
+        )
+        if vertices is not None:
+            singles = (
+                vertices.select(F.col(out_col).cast("string").alias(out_col))
+                .distinct()
+                .join(out.select(out_col), out_col, "left_anti")
+                .withColumn("cluster_id", F.col(out_col))
+            )
+            out = out.unionByName(singles)
+        return out
     live_nodes = nbrs.select("src").distinct()
     if vertices is not None:
         live_nodes = vertices.select(keyed(F.col(out_col)).alias("src")).distinct()

@@ -442,3 +442,25 @@ def test_threshold_clustering_fast_and_distributed_identical(spark):
     )
     assert fast == slow
     assert ("solo", 2, "solo") in fast and ("solo", 6, "solo") in fast
+
+
+def test_pivot_clusters_fast_and_mis_paths_identical(spark):
+    """The bounded driver fast path (one collect + sequential greedy) and
+    the distributed MIS-round path must produce IDENTICAL pivot
+    clusterings, including vertex singletons."""
+    from repostcheckerbot_spark.operators.clustering import pivot_clusters
+
+    rng = random.Random(13)
+    nodes = [f"g{i:03d}" for i in range(90)]
+    edges = [tuple(sorted(rng.sample(nodes, 2))) for _ in range(130)]
+    e = spark.createDataFrame(edges, ["conv_id_a", "conv_id_b"])
+    v = spark.createDataFrame([(n,) for n in nodes + ["alone"]], ["conv_id"])
+    fast = sorted(map(tuple, pivot_clusters(e, vertices=v).collect()))
+    mis = sorted(
+        map(
+            tuple,
+            pivot_clusters(e, vertices=v, small_graph_threshold=0).collect(),
+        )
+    )
+    assert fast == mis
+    assert ("alone", "alone") in fast
