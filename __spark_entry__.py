@@ -330,6 +330,73 @@ def _q_clean_clean_linkage(spark, sf):
     )
 
 
+#: Deterministic person-name fixture for the PPRL query: TPC-H customer
+#: names are near-identical strings ('Customer#000000001'), useless as a
+#: linkage fixture, so names are synthesized from c_custkey via these two
+#: lists — ~1000 distinct (first, last) combos over 1500 sf0.01 customers,
+#: i.e. natural cross-record duplicates, replicated verbatim in the oracle
+#: via list_extract.
+_PPRL_FIRST = [
+    "amara", "bruno", "carla", "diego", "elena",
+    "felix", "grace", "hiro", "ines", "jonas",
+    "karim", "leila", "marco", "nadia", "oscar",
+    "priya", "quinn", "rosa", "samir", "tanya",
+    "umar", "vera", "wendy", "xenia", "yusuf",
+]
+_PPRL_LAST = [
+    "almeida", "baranov", "cardoso", "dimitrov", "eriksen",
+    "fuentes", "gallagher", "haddad", "ivanova", "jansen",
+    "kowalski", "lindgren", "moreau", "nakamura", "obrien",
+    "petrova", "quiroga", "rossi", "santos", "tanaka",
+    "ustinov", "vasquez", "watanabe", "xu", "yamamoto",
+    "zhang", "andersson", "bergman", "costa", "duarte",
+    "ferrari", "gruber", "hansen", "ishida", "jimenez",
+    "keller", "lorenzo", "martins", "novak", "okafor",
+]
+
+
+def _pprl_sources(c):
+    """Variant-A / variant-B customer exports with synthesized person
+    names. B drops every c_custkey % 4 == 1 record (partial overlap, same
+    topology as clean_clean_linkage) and plants a deterministic typo
+    (a→e) in every c_custkey % 5 == 0 name."""
+    first = F.element_at(
+        F.array(*[F.lit(x) for x in _PPRL_FIRST]), (F.col("c_custkey") % 25 + 1).cast("int")
+    )
+    last = F.element_at(
+        F.array(*[F.lit(x) for x in _PPRL_LAST]),
+        (F.expr("c_custkey div 25") % 40 + 1).cast("int"),
+    )
+    name = F.concat(first, F.lit(" "), last)
+    left = c.select((F.col("c_custkey") * 2).alias("rec_id"), name.alias("name"))
+    right = c.where(F.col("c_custkey") % 4 != 1).select(
+        (F.col("c_custkey") * 2 + 1).alias("rec_id"),
+        F.when(F.col("c_custkey") % 5 == 0, F.replace(name, F.lit("a"), F.lit("e")))
+        .otherwise(name)
+        .alias("name"),
+    )
+    return left, right
+
+
+def _q_pprl_clk_linkage(spark, sf):
+    """Privacy-preserving record linkage (Schnell et al. 2009/2011): both
+    customer exports encode their names into 60-bit CLK Bloom filters
+    (field-salted double hashing over character bigrams, pure codegen'd
+    column algebra — operators/pprl.py), then the linkage unit matches on
+    Dice ≥ 0.7 over pigeonhole chunk-blocked candidates WITHOUT ever
+    seeing plaintext. Identical names hash to identical CLKs (dice
+    1.0); the planted a→e typos land in the 0.7-0.95 band. The oracle
+    restates the full encode+block+score dataflow in DuckDB (strpos-nibble
+    md5 arithmetic, bit_or, bit_count) — a bit-exact cross-engine check
+    of the whole PPRL path."""
+    from repostcheckerbot_spark.operators import pprl
+
+    left, right = _pprl_sources(load(spark, sf, "customer"))
+    enc_l = pprl.clk_encode(left, "rec_id", ["name"])
+    enc_r = pprl.clk_encode(right, "rec_id", ["name"])
+    return pprl.clk_dice_pairs(enc_l, enc_r, threshold_millionths=700_000)
+
+
 #: thresholds (micro-bits) swept by fs_threshold_sweep — brackets the FS
 #: decision band: deep non-match, lower bound, zero, mid-band, the 5-bit
 #: production threshold, and above-everything.
@@ -1525,6 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_scheme_report": _q_blocking_scheme_report,
         "ngram_containment": _q_ngram_containment,
         "clean_clean_linkage": _q_clean_clean_linkage,
+        "pprl_clk_linkage": _q_pprl_clk_linkage,
         "star_clusters_simhash": _q_star_clusters_simhash,
         "pivot_clusters_simhash": _q_pivot_clusters_simhash,
         "threshold_cluster_ladder": _q_threshold_cluster_ladder,
@@ -1971,6 +2039,62 @@ def _clean_clean_oracle() -> str:
         )
         SELECT nat, rec_id_a, rec_id_b, agree_bal, agree_name, agree_seg, fs_score_micros
         FROM pairs WHERE fs_score_micros > {thr}
+    """
+
+
+def _pprl_oracle() -> str:
+    """PPRL oracle: restates the ENTIRE encode → chunk-block → Dice
+    dataflow in DuckDB — synthesized names via list_extract, bigrams via
+    lateral range, CLK bits via strpos-nibble md5 arithmetic (bit-exact
+    twin of Spark's conv(md5hex,16,10), proven in test_pprl), bit_or
+    accumulation, pigeonhole chunk join, integer-millionths Dice."""
+    from repostcheckerbot_spark.operators import pprl
+
+    first_sql = "[" + ", ".join(f"'{x}'" for x in _PPRL_FIRST) + "]"
+    last_sql = "[" + ", ".join(f"'{x}'" for x in _PPRL_LAST) + "]"
+    bits = pprl.clk_oracle_bits_sql("name")
+    cb = pprl.CHUNK_BITS
+    mask = (1 << cb) - 1
+    return f"""
+        WITH base AS (
+          SELECT c_custkey,
+                 list_extract({first_sql}, CAST(c_custkey % 25 + 1 AS INT)) || ' ' ||
+                 list_extract({last_sql}, CAST((c_custkey // 25) % 40 + 1 AS INT)) AS name
+          FROM customer
+        ),
+        recs AS (
+          SELECT c_custkey * 2 AS rec_id, 0 AS side, lower(trim(coalesce(name, ''))) AS nm
+          FROM base
+          UNION ALL
+          SELECT c_custkey * 2 + 1, 1,
+                 lower(trim(coalesce(
+                   CASE WHEN c_custkey % 5 = 0 THEN replace(name, 'a', 'e') ELSE name END, '')))
+          FROM base WHERE c_custkey % 4 <> 1
+        ),
+        bg AS (
+          SELECT DISTINCT rec_id, substr(nm, CAST(i AS INT), 2) AS g
+          FROM recs, unnest(range(1, length(nm))) t(i)
+        ),
+        clks AS (
+          SELECT r.rec_id, r.side, CAST(coalesce(bit_or({bits}), 0) AS BIGINT) AS clk
+          FROM recs r LEFT JOIN bg ON bg.rec_id = r.rec_id
+          GROUP BY r.rec_id, r.side
+        ),
+        ch AS (
+          SELECT rec_id, side, clk, CAST(j AS INT) AS j,
+                 (clk >> (CAST(j AS INT) * {cb})) & {mask} AS v
+          FROM clks, unnest(range(0, {pprl.N_CHUNKS})) t(j)
+        ),
+        cand AS (
+          SELECT DISTINCT a.rec_id AS rec_id_a, a.clk AS ca, b.rec_id AS rec_id_b, b.clk AS cb
+          FROM ch a JOIN ch b ON a.j = b.j AND a.v = b.v AND a.side = 0 AND b.side = 1
+        )
+        SELECT rec_id_a, rec_id_b,
+               CAST((2000000 * bit_count(ca & cb)) // (bit_count(ca) + bit_count(cb)) AS BIGINT)
+                 AS dice_millionths
+        FROM cand
+        WHERE bit_count(ca) > 0 AND bit_count(cb) > 0
+          AND (2000000 * bit_count(ca & cb)) // (bit_count(ca) + bit_count(cb)) >= 700000
     """
 
 
@@ -3479,6 +3603,8 @@ def oracle_sql() -> dict[str, str]:
         # 1:1 clean-clean assignment: mutual top-1 over the same scored CTE
         "one_to_one_assignment": _one_to_one_oracle(),
         "clean_clean_linkage": _clean_clean_oracle(),
+        # PPRL: full Bloom-encode + chunk-block + Dice dataflow in DuckDB
+        "pprl_clk_linkage": _pprl_oracle(),
         # deterministic waterfall: per-rule equi-joins, first rule wins
         "rule_cascade_matches": f"""
             WITH {_FS_RECS_CTE.strip()},
