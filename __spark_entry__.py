@@ -397,6 +397,20 @@ def _q_pprl_clk_linkage(spark, sf):
     return pprl.clk_dice_pairs(enc_l, enc_r, threshold_millionths=700_000)
 
 
+def _q_dup_capture_recapture(spark, sf):
+    """Chapman capture–recapture estimate of the latent near-dup pair
+    population from two INDEPENDENT detection channels (MinHash-LSH
+    banding vs SimHash chunk pigeonhole — different signatures, different
+    blocking) — dedup QA: how many true duplicate pairs are BOTH channels
+    missing. One row (n_a, n_b, n_overlap, n_est_total), all BIGINT."""
+    from repostcheckerbot_spark.operators.er import capture_recapture_estimate
+
+    d = load(spark, sf, "documents")
+    lsh = dedup_docs.lsh_candidates_md5(d, k=5, bands=2, rows_per_band=4)
+    sim = dedup_docs.simhash_near_pairs(d, max_hamming=8).select("doc_id_a", "doc_id_b")
+    return capture_recapture_estimate(lsh, sim)
+
+
 #: thresholds (micro-bits) swept by fs_threshold_sweep — brackets the FS
 #: decision band: deep non-match, lower bound, zero, mid-band, the 5-bit
 #: production threshold, and above-everything.
@@ -1593,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": _q_ngram_containment,
         "clean_clean_linkage": _q_clean_clean_linkage,
         "pprl_clk_linkage": _q_pprl_clk_linkage,
+        "dup_capture_recapture": _q_dup_capture_recapture,
         "star_clusters_simhash": _q_star_clusters_simhash,
         "pivot_clusters_simhash": _q_pivot_clusters_simhash,
         "threshold_cluster_ladder": _q_threshold_cluster_ladder,
@@ -1699,6 +1714,24 @@ _SIMHASH_CHUNKS_SQL = "\n              UNION ALL\n              ".join(
     for i, e in enumerate(dedup_docs.simhash_chunk_exprs(8, "duckdb"))
 )
 
+
+#: MinHash-LSH candidate SQL (shared by the lsh_candidates oracle and the
+#: capture-recapture estimator's channel-A CTE)
+_LSH_CANDIDATES_SQL = f"""
+            WITH {_SHINGLE5}, seeds AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS seed),
+            sig AS (
+              SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || s)) AS minhash
+              FROM sh, seeds GROUP BY doc_id, seed
+            ),
+            banded AS (
+              SELECT doc_id, seed // 4 AS band_id,
+                     md5(string_agg(minhash, ',' ORDER BY minhash)) AS band_hash
+              FROM sig GROUP BY doc_id, seed // 4
+            )
+            SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+            FROM banded a JOIN banded b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        """
 
 #: SimHash near-pair SQL (shared by the near-pairs oracle, its Manku twin,
 #: and the triangle-count oracle)
@@ -2756,21 +2789,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || s)) AS minhash
             FROM sh, seeds GROUP BY doc_id, seed
         """,
-        "lsh_candidates": f"""
-            WITH {_SHINGLE5}, seeds AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS seed),
-            sig AS (
-              SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || s)) AS minhash
-              FROM sh, seeds GROUP BY doc_id, seed
-            ),
-            banded AS (
-              SELECT doc_id, seed // 4 AS band_id,
-                     md5(string_agg(minhash, ',' ORDER BY minhash)) AS band_hash
-              FROM sig GROUP BY doc_id, seed // 4
-            )
-            SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-            FROM banded a JOIN banded b
-              ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-        """,
+        "lsh_candidates": _LSH_CANDIDATES_SQL,
         "metablocking_pairs": f"""
             WITH {_SHINGLE5}, seeds AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS seed),
             sig AS (
@@ -3605,6 +3624,27 @@ def oracle_sql() -> dict[str, str]:
         "clean_clean_linkage": _clean_clean_oracle(),
         # PPRL: full Bloom-encode + chunk-block + Dice dataflow in DuckDB
         "pprl_clk_linkage": _pprl_oracle(),
+        # Chapman capture-recapture over the two shared channel CTEs
+        "dup_capture_recapture": f"""
+            WITH a AS ({_LSH_CANDIDATES_SQL}),
+            b AS (SELECT doc_id_a, doc_id_b FROM ({_SIMHASH_PAIRS_SQL})),
+            u AS (
+              SELECT doc_id_a, doc_id_b, 1 AS src FROM a
+              UNION ALL
+              SELECT doc_id_a, doc_id_b, 2 FROM b
+            ),
+            s AS (SELECT doc_id_a, doc_id_b, sum(src) AS s FROM u GROUP BY 1, 2),
+            agg AS (
+              SELECT count(*) FILTER (WHERE s IN (1, 3)) AS n_a,
+                     count(*) FILTER (WHERE s IN (2, 3)) AS n_b,
+                     count(*) FILTER (WHERE s = 3) AS n_overlap
+              FROM s
+            )
+            SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   CAST(n_overlap AS BIGINT) AS n_overlap,
+                   CAST((n_a + 1) * (n_b + 1) // (n_overlap + 1) - 1 AS BIGINT) AS n_est_total
+            FROM agg
+        """,
         # deterministic waterfall: per-rule equi-joins, first rule wins
         "rule_cascade_matches": f"""
             WITH {_FS_RECS_CTE.strip()},

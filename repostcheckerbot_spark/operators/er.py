@@ -1041,3 +1041,54 @@ def blocking_scheme_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def capture_recapture_estimate(
+    pairs_a: DataFrame,
+    pairs_b: DataFrame,
+    keys: tuple[str, str] = ("doc_id_a", "doc_id_b"),
+) -> DataFrame:
+    """Chapman capture–recapture estimate of the LATENT duplicate-pair
+    population from two independent detection channels.
+
+    Classic mark-recapture statistics (Lincoln–Petersen; Chapman 1951
+    small-sample correction), applied to dedup QA: channel A "marks" the
+    pairs it catches, channel B "recaptures" some of them, and the overlap
+    estimates how many true duplicate pairs BOTH channels are missing —
+    the answerable form of "how much duplication is left?" that neither
+    channel's own count can give. The reference has no analog (it reviews
+    candidates one submission at a time, RepostCheckerBot.py:48-100); this
+    is pipeline-level QA that only matters at corpus scale.
+
+    N̂ = (n_a + 1)(n_b + 1) / (m + 1) − 1, floored to BIGINT — defined
+    even at m = 0 and less biased than raw Lincoln–Petersen for small m.
+    Assumes channel independence (stated, as always, not assumed silently:
+    correlated channels bias N̂ low — docstring caveat, standard practice).
+
+    One pair-key shuffle + one global aggregate: the two channels are
+    tagged 1/2, unioned, summed per pair (1 = A only, 2 = B only,
+    3 = both), then counted in a single pass. No collect, no loop; at
+    100 TB this is two map-side-combined aggregations over already-blocked
+    candidate sets, far cheaper than either channel itself.
+
+    Returns ONE row: (n_a, n_b, n_overlap, n_est_total) — all BIGINT.
+    """
+    ka, kb = keys
+    a = pairs_a.select(F.col(ka).alias("_pa"), F.col(kb).alias("_pb")).distinct()
+    b = pairs_b.select(F.col(ka).alias("_pa"), F.col(kb).alias("_pb")).distinct()
+    tagged = a.withColumn("_src", F.lit(1)).unionByName(b.withColumn("_src", F.lit(2)))
+    per_pair = tagged.groupBy("_pa", "_pb").agg(F.sum("_src").alias("_s"))
+    return per_pair.agg(
+        F.count(F.when(F.col("_s").isin(1, 3), 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("_s").isin(2, 3), 1)).cast("long").alias("n_b"),
+        F.count(F.when(F.col("_s") == 3, 1)).cast("long").alias("n_overlap"),
+    ).select(
+        "n_a",
+        "n_b",
+        "n_overlap",
+        # integer `div`, not floor(double /): at 10^12-turn scale the
+        # product outgrows double's 2^53 exact-integer range
+        F.expr("((n_a + 1) * (n_b + 1)) div (n_overlap + 1) - 1")
+        .cast("long")
+        .alias("n_est_total"),
+    )

@@ -659,3 +659,27 @@ def test_blocking_scheme_report_known_answer(spark):
         # degenerate: one block of 6 → C(6,2)=15 pairs, perfect completeness
         "all": (1, 15, 3, 1000000),
     }
+
+
+def test_capture_recapture_estimate(spark):
+    from repostcheckerbot_spark.operators.er import capture_recapture_estimate
+
+    def pairs(rows):
+        return spark.createDataFrame(rows, "doc_id_a long, doc_id_b long")
+
+    # channel A catches 4 pairs, B catches 3, overlap 2
+    # Chapman: (4+1)(3+1)//(2+1) - 1 = 20//3 - 1 = 5
+    a = pairs([(1, 2), (3, 4), (5, 6), (7, 8), (1, 2)])  # dup row collapses
+    b = pairs([(1, 2), (3, 4), (9, 10)])
+    [r] = capture_recapture_estimate(a, b).collect()
+    assert (r.n_a, r.n_b, r.n_overlap, r.n_est_total) == (4, 3, 2, 5)
+
+    # disjoint channels: m = 0 stays defined -> (3+1)(1+1)//1 - 1 = 7
+    [r0] = capture_recapture_estimate(pairs([(1, 2), (3, 4), (5, 6)]), pairs([(7, 8)])).collect()
+    assert (r0.n_a, r0.n_b, r0.n_overlap, r0.n_est_total) == (3, 1, 0, 7)
+
+    # identical channels: estimate collapses to the observed count
+    # (4+1)(4+1)//(4+1) - 1 = 4
+    same = [(1, 2), (3, 4), (5, 6), (7, 8)]
+    [r1] = capture_recapture_estimate(pairs(same), pairs(same)).collect()
+    assert (r1.n_a, r1.n_b, r1.n_overlap, r1.n_est_total) == (4, 4, 4, 4)
