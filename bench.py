@@ -118,6 +118,9 @@ def main() -> None:
         # round-4 addition: the single-linkage dendrogram ladder (3 closures
         # via contraction over the simhash near-dup graph)
         ("threshold_ladder", lambda: q["threshold_cluster_ladder"](spark, SF_DIR).count()),
+        # late round-4 addition: the privacy-preserving linkage path
+        # (CLK Bloom encode -> chunk-blocked Dice) over 2x the customer table
+        ("pprl_clk_linkage", lambda: q["pprl_clk_linkage"](spark, SF_DIR).count()),
         ("decontamination", lambda: q["decontamination"](spark, SF_DIR).count()),
         ("bm25_scores", lambda: q["bm25_scores"](spark, SF_DIR).count()),
         ("pack_manifest", lambda: q["pack_manifest"](spark, SF_DIR).count()),

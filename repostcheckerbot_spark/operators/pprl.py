@@ -95,11 +95,12 @@ def clk_encode(df: DataFrame, id_col: str, fields: list[str], out_col: str = "cl
     return df.select(F.col(id_col), clk.alias(out_col))
 
 
-def _chunks(df: DataFrame, id_col: str, clk_col: str) -> DataFrame:
-    """Explode one CLK into its N_CHUNKS (chunk_idx, chunk_value) keys.
-    Arithmetic shift + mask ≡ logical shift for the kept low bits."""
+def _chunks(df: DataFrame, clk_col: str) -> DataFrame:
+    """Explode each CLK into its N_CHUNKS (chunk_idx, chunk_value) keys,
+    keeping the input columns. Arithmetic shift + mask ≡ logical shift
+    for the kept low bits."""
     j = F.explode(F.sequence(F.lit(0), F.lit(N_CHUNKS - 1))).alias("chunk_idx")
-    out = df.select(F.col(id_col), F.col(clk_col), j)
+    out = df.select("*", j)
     # SQL shiftright (unlike the Python wrapper) takes a column bit count
     chunk_val = F.expr(f"shiftright({clk_col}, chunk_idx * {CHUNK_BITS}) & {(1 << CHUNK_BITS) - 1}")
     return out.withColumn("chunk_val", chunk_val)
@@ -129,23 +130,28 @@ def clk_dice_pairs(
     (documented, same honesty convention as simhash_near_pairs).
 
     Returns (rec_id_a, rec_id_b, dice_millionths) for chunk-cohabiting
-    pairs with Dice ≥ threshold and at least one set bit on each side."""
-    la = _chunks(left, id_col, clk_col).select(
-        F.col(id_col).alias("rec_id_a"), F.col(clk_col).alias("_clk_a"), "chunk_idx", "chunk_val"
-    )
-    rb = _chunks(right, id_col, clk_col).select(
-        F.col(id_col).alias("rec_id_b"), F.col(clk_col).alias("_clk_b"), "chunk_idx", "chunk_val"
-    )
-    cand = (
-        la.join(rb, on=["chunk_idx", "chunk_val"])
-        .select("rec_id_a", "rec_id_b", "_clk_a", "_clk_b")
-        .distinct()
-    )
+    pairs with Dice ≥ threshold and at least one set bit on each side.
+
+    Scale shape: blocking + scoring run in DISTINCT-CLK space, then the
+    matching encoding pairs expand back to record pairs. Identical
+    records (and identically-encoding quasi-identifiers — the common case
+    in dirty corpora) collapse to one value before the O(candidates)
+    work, so the chunk join is bounded by distinct encodings, not
+    records; cohabitation and Dice depend only on the CLK value, so the
+    output is provably identical to the record-space join."""
+    ua = left.select(F.col(clk_col).alias("_clk_a")).where(F.bit_count(clk_col) > 0).distinct()
+    ub = right.select(F.col(clk_col).alias("_clk_b")).where(F.bit_count(clk_col) > 0).distinct()
+    ca = _chunks(ua, "_clk_a")
+    cb = _chunks(ub, "_clk_b")
+    cand = ca.join(cb, on=["chunk_idx", "chunk_val"]).select("_clk_a", "_clk_b").distinct()
     d = dice_millionths(F.col("_clk_a"), F.col("_clk_b"))
+    matches = cand.select("_clk_a", "_clk_b", d.alias("dice_millionths")).where(
+        F.col("dice_millionths") >= threshold_millionths
+    )
     return (
-        cand.where((F.bit_count(F.col("_clk_a")) > 0) & (F.bit_count(F.col("_clk_b")) > 0))
-        .select("rec_id_a", "rec_id_b", d.alias("dice_millionths"))
-        .where(F.col("dice_millionths") >= threshold_millionths)
+        matches.join(left.select(F.col(id_col).alias("rec_id_a"), F.col(clk_col).alias("_clk_a")), "_clk_a")
+        .join(right.select(F.col(id_col).alias("rec_id_b"), F.col(clk_col).alias("_clk_b")), "_clk_b")
+        .select("rec_id_a", "rec_id_b", "dice_millionths")
     )
 
 
