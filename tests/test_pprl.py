@@ -107,3 +107,21 @@ def test_encode_is_single_stage_no_shuffle(spark):
     df = spark.createDataFrame([(1, "amara almeida")], "rec_id long, name string")
     plan = pprl.clk_encode(df, "rec_id", ["name"])._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_clk_encode_fuzz_corpus_matches_referee(spark):
+    """200 seeded fuzz strings (punctuation, digits, accents, whitespace
+    runs, repeats, empties) encoded in ONE Spark job must all match the
+    plain-Python referee bit-for-bit — the cross-engine md5/substring/
+    lower semantics this operator leans on."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 .,'-_#éüñ"
+    corpus = [""] + ["a"] + ["  "] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40))) for _ in range(197)
+    ]
+    df = spark.createDataFrame(list(enumerate(corpus)), "rec_id long, name string")
+    got = {r["rec_id"]: r["clk"] for r in pprl.clk_encode(df, "rec_id", ["name"]).collect()}
+    for i, s in enumerate(corpus):
+        assert got[i] == _referee_clk({"name": s}), repr(s)
