@@ -1057,7 +1057,7 @@ def capture_recapture_estimate(
     estimates how many true duplicate pairs BOTH channels are missing —
     the answerable form of "how much duplication is left?" that neither
     channel's own count can give. The reference has no analog (it reviews
-    candidates one submission at a time, RepostCheckerBot.py:48-100); this
+    candidates one submission at a time, reference database.py:390-402); this
     is pipeline-level QA that only matters at corpus scale.
 
     N̂ = (n_a + 1)(n_b + 1) / (m + 1) − 1, floored to BIGINT — defined

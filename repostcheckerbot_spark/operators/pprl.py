@@ -10,9 +10,9 @@ into ONE fixed-length Bloom filter per record by hashing character bigrams
 the bit vectors and scores pairs with the Dice coefficient. A single-
 character typo perturbs at most two bigrams, so high Dice survives noise
 — the same fuzzy-match decision the reference makes on plaintext with
-difflib ratios (reference RepostCheckerBot.py:64-77, checkInDataBase
-score loop), generalized to the setting where NO party may see the other
-party's plaintext.
+difflib ratios (reference database.py:395, the full-table
+SequenceMatcher loop thresholded at database.py:396), generalized to the
+setting where NO party may see the other party's plaintext.
 
 Spark-first design:
 
