@@ -22,9 +22,10 @@ Spark-first design:
 - **m = 60 bits in one BIGINT**, so Hamming/Dice are two ``bit_count``
   calls. Production PPRL uses m ≈ 500-1000; 60 keeps the sandbox DuckDB
   oracle in a single BIGINT (DuckDB raises on ``1::BIGINT << 63``, so the
-  top nibble stays clear by construction). The algebra is m-agnostic: to
-  widen, keep an ``array<bigint>`` of 60-bit words and OR per word — no
-  other line changes.
+  top nibble stays clear by construction). The algebra is m-agnostic:
+  :func:`clk_encode_wide` / :func:`dice_millionths_wide` implement the
+  widened ``array<bigint>``-of-60-bit-words path (referee-verified at
+  m = 120 in test_pprl).
 - **Candidate generation is pigeonhole chunk blocking**: the 60-bit CLK
   splits into 4 disjoint 15-bit chunks; any pair with Hamming distance
   ≤ 3 shares at least one chunk verbatim (same Manku-style scheme as
@@ -167,3 +168,61 @@ def clk_oracle_bits_sql(field_salt: str) -> str:
         )
 
     return " | ".join(f"(1::BIGINT << {pos(i)})" for i in range(CLK_K))
+
+
+def clk_encode_wide(
+    df: DataFrame,
+    id_col: str,
+    fields: list[str],
+    n_words: int = 2,
+    out_col: str = "clk_words",
+) -> DataFrame:
+    """Widened CLK: m = n_words × CLK_BITS bits as ``array<bigint>`` of
+    60-bit words — the production-width path (m ≈ 500-1000 per Schnell et
+    al.; n_words=2 → 120 bits already separates clean/dirty Dice bands far
+    better than one word). Bit position = first FOUR md5 hex digits mod m
+    (two digits only address 256 < m positions); word = pos // CLK_BITS,
+    bit = pos % CLK_BITS. Same codegen'd no-shuffle algebra as
+    :func:`clk_encode`, one OR-aggregate per word. Test-verified against
+    the plain-Python referee (test_pprl); the 60-bit variant carries the
+    DuckDB oracle."""
+    m = n_words * CLK_BITS
+
+    def word_expr(w: int) -> str:
+        per_field = []
+        for f in fields:
+            nm = f"lower(trim(coalesce({f}, '')))"
+            gram = f"substring({nm}, i, 2)"
+            masks = " | ".join(
+                f"(CASE WHEN CAST(conv(substring(md5(concat('{f}:{i}:', g)), 1, 4), 16, 10) AS INT) % {m} div {CLK_BITS} = {w} "
+                f"THEN shiftleft(CAST(1 AS BIGINT), CAST(conv(substring(md5(concat('{f}:{i}:', g)), 1, 4), 16, 10) AS INT) % {m} % {CLK_BITS}) "
+                f"ELSE CAST(0 AS BIGINT) END)"
+                for i in range(CLK_K)
+            )
+            per_field.append(
+                f"CASE WHEN length({nm}) < 2 THEN CAST(array() AS array<bigint>) "
+                f"ELSE transform(array_distinct(transform(sequence(1, length({nm}) - 1), i -> {gram})), g -> {masks}) END"
+            )
+        arrays = ", ".join(per_field)
+        return f"aggregate(flatten(array({arrays})), CAST(0 AS BIGINT), (acc, x) -> acc | x)"
+
+    words = ", ".join(word_expr(w) for w in range(n_words))
+    return df.select(F.col(id_col), F.expr(f"array({words})").alias(out_col))
+
+
+def dice_millionths_wide(clk_a_col: str, clk_b_col: str) -> Column:
+    """Integer Dice over word-array CLKs: per-word popcounts summed via
+    zip_with/aggregate, integer `div` — still pure column algebra, NULL
+    when both filters are empty (callers guard like the 60-bit path)."""
+
+    def popcount(col: str) -> str:
+        return f"aggregate(transform({col}, w -> bit_count(w)), 0, (acc, v) -> acc + v)"
+
+    inter = (
+        f"aggregate(zip_with({clk_a_col}, {clk_b_col}, (x, y) -> bit_count(x & y)),"
+        " 0, (acc, v) -> acc + v)"
+    )
+    return F.expr(
+        f"CAST((2000000 * CAST({inter} AS BIGINT))"
+        f" div ({popcount(clk_a_col)} + {popcount(clk_b_col)}) AS BIGINT)"
+    )

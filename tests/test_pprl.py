@@ -125,3 +125,41 @@ def test_clk_encode_fuzz_corpus_matches_referee(spark):
     got = {r["rec_id"]: r["clk"] for r in pprl.clk_encode(df, "rec_id", ["name"]).collect()}
     for i, s in enumerate(corpus):
         assert got[i] == _referee_clk({"name": s}), repr(s)
+
+
+def _referee_clk_wide(fields: dict[str, str], n_words: int = 2) -> list[int]:
+    m = n_words * pprl.CLK_BITS
+    words = [0] * n_words
+    for field, value in fields.items():
+        nm = (value or "").strip().lower()
+        for g in {nm[i : i + 2] for i in range(len(nm) - 1)}:
+            for i in range(pprl.CLK_K):
+                pos = int(hashlib.md5(f"{field}:{i}:{g}".encode()).hexdigest()[:4], 16) % m
+                words[pos // pprl.CLK_BITS] |= 1 << (pos % pprl.CLK_BITS)
+    return words
+
+
+def test_clk_encode_wide_matches_referee_and_dice(spark):
+    """120-bit (2-word) CLK: encoder parity vs the plain-Python wide
+    referee, and dice_millionths_wide agreement on every pair — the
+    widening path the 60-bit docstring promises."""
+    names = ["amara almeida", "amara almeida", "amere elmeide", "vera yamamoto", "x", None]
+    df = spark.createDataFrame(list(enumerate(names)), "rec_id long, name string")
+    enc = pprl.clk_encode_wide(df, "rec_id", ["name"], n_words=2)
+    got = {r["rec_id"]: list(r["clk_words"]) for r in enc.collect()}
+    for i, s in enumerate(names):
+        assert got[i] == _referee_clk_wide({"name": s or ""}), repr(s)
+    assert got[4] == [0, 0] and got[5] == [0, 0]
+
+    a = enc.where(F.col("rec_id") == 0).select(F.col("clk_words").alias("wa"))
+    for j, s in enumerate(names[:4]):
+        b = enc.where(F.col("rec_id") == j).select(F.col("clk_words").alias("wb"))
+        [row] = a.crossJoin(b).select(pprl.dice_millionths_wide("wa", "wb").alias("d")).collect()
+        ra, rb = _referee_clk_wide({"name": names[0]}), _referee_clk_wide({"name": s or ""})
+        inter = sum((x & y).bit_count() for x, y in zip(ra, rb))
+        denom = sum(x.bit_count() for x in ra) + sum(x.bit_count() for x in rb)
+        assert row["d"] == 2 * pprl.MILLION * inter // denom
+    # identical names -> exactly 1.0 at 120 bits too
+    b1 = enc.where(F.col("rec_id") == 1).select(F.col("clk_words").alias("wb"))
+    [r1] = a.crossJoin(b1).select(pprl.dice_millionths_wide("wa", "wb").alias("d")).collect()
+    assert r1["d"] == pprl.MILLION
