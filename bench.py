@@ -121,6 +121,8 @@ def main() -> None:
         # late round-4 addition: the privacy-preserving linkage path
         # (CLK Bloom encode -> chunk-blocked Dice) over 2x the customer table
         ("pprl_clk_linkage", lambda: q["pprl_clk_linkage"](spark, SF_DIR).count()),
+        # round-5 addition: the production-width (120-bit, 8-chunk) PPRL path
+        ("pprl_clk_linkage_wide", lambda: q["pprl_clk_linkage_wide"](spark, SF_DIR).count()),
         ("decontamination", lambda: q["decontamination"](spark, SF_DIR).count()),
         ("bm25_scores", lambda: q["bm25_scores"](spark, SF_DIR).count()),
         ("pack_manifest", lambda: q["pack_manifest"](spark, SF_DIR).count()),

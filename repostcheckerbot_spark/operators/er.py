@@ -1087,8 +1087,14 @@ def capture_recapture_estimate(
         "n_b",
         "n_overlap",
         # integer `div`, not floor(double /): at 10^12-turn scale the
-        # product outgrows double's 2^53 exact-integer range
-        F.expr("((n_a + 1) * (n_b + 1)) div (n_overlap + 1) - 1")
+        # product outgrows double's 2^53 exact-integer range — and the
+        # product itself is computed in DECIMAL(38,0) because two channels
+        # above ~3e9 pairs each would overflow the BIGINT multiply long
+        # before the quotient stops fitting one
+        F.expr(
+            "((CAST(n_a AS DECIMAL(38,0)) + 1) * (CAST(n_b AS DECIMAL(38,0)) + 1))"
+            " div (n_overlap + 1) - 1"
+        )
         .cast("long")
         .alias("n_est_total"),
     )

@@ -23,9 +23,11 @@ Spark-first design:
   calls. Production PPRL uses m ≈ 500-1000; 60 keeps the sandbox DuckDB
   oracle in a single BIGINT (DuckDB raises on ``1::BIGINT << 63``, so the
   top nibble stays clear by construction). The algebra is m-agnostic:
-  :func:`clk_encode_wide` / :func:`dice_millionths_wide` implement the
-  widened ``array<bigint>``-of-60-bit-words path (referee-verified at
-  m = 120 in test_pprl).
+  :func:`clk_encode_wide` / :func:`clk_dice_pairs_wide` /
+  :func:`dice_millionths_wide` implement the complete widened
+  ``array<bigint>``-of-60-bit-words path — encode, pigeonhole chunk
+  blocking, and Dice scoring (referee-verified at m = 120 in test_pprl
+  and DuckDB-oracled end-to-end by pprl_clk_linkage_wide).
 - **Candidate generation is pigeonhole chunk blocking**: the 60-bit CLK
   splits into 4 disjoint 15-bit chunks; any pair with Hamming distance
   ≤ 3 shares at least one chunk verbatim (same Manku-style scheme as
@@ -107,11 +109,14 @@ def _chunks(df: DataFrame, clk_col: str) -> DataFrame:
     return out.withColumn("chunk_val", chunk_val)
 
 
-def dice_millionths(clk_a: Column, clk_b: Column) -> Column:
-    """Integer Dice coefficient: floor(2·|a∧b| / (|a|+|b|) · 10⁶)."""
-    inter = F.bit_count(clk_a.bitwiseAND(clk_b))
-    denom = F.bit_count(clk_a) + F.bit_count(clk_b)
-    return F.floor(F.lit(2 * MILLION) * inter / denom).cast("long")
+def dice_millionths(clk_a: str, clk_b: str) -> Column:
+    """Integer Dice coefficient: (2·10⁶·|a∧b|) div (|a|+|b|) — pure integer
+    arithmetic (repo-wide integer-parity convention, same as the wide path
+    and the DuckDB ``//`` in the oracle). Args are column NAMES."""
+    return F.expr(
+        f"CAST((CAST({2 * MILLION} AS BIGINT) * bit_count({clk_a} & {clk_b}))"
+        f" div (bit_count({clk_a}) + bit_count({clk_b})) AS BIGINT)"
+    )
 
 
 def clk_dice_pairs(
@@ -140,12 +145,16 @@ def clk_dice_pairs(
     work, so the chunk join is bounded by distinct encodings, not
     records; cohabitation and Dice depend only on the CLK value, so the
     output is provably identical to the record-space join."""
-    ua = left.select(F.col(clk_col).alias("_clk_a")).where(F.bit_count(clk_col) > 0).distinct()
-    ub = right.select(F.col(clk_col).alias("_clk_b")).where(F.bit_count(clk_col) > 0).distinct()
+    # filter AFTER distinct: the popcount guard then runs on the handful of
+    # distinct encodings instead of re-inlining the full encode expression
+    # into a pre-shuffle Filter over every record (project-collapse would
+    # otherwise evaluate the encode twice per row)
+    ua = left.select(F.col(clk_col).alias("_clk_a")).distinct().where(F.bit_count("_clk_a") > 0)
+    ub = right.select(F.col(clk_col).alias("_clk_b")).distinct().where(F.bit_count("_clk_b") > 0)
     ca = _chunks(ua, "_clk_a")
     cb = _chunks(ub, "_clk_b")
     cand = ca.join(cb, on=["chunk_idx", "chunk_val"]).select("_clk_a", "_clk_b").distinct()
-    d = dice_millionths(F.col("_clk_a"), F.col("_clk_b"))
+    d = dice_millionths("_clk_a", "_clk_b")
     matches = cand.select("_clk_a", "_clk_b", d.alias("dice_millionths")).where(
         F.col("dice_millionths") >= threshold_millionths
     )
@@ -188,26 +197,35 @@ def clk_encode_wide(
     DuckDB oracle."""
     m = n_words * CLK_BITS
 
-    def word_expr(w: int) -> str:
-        per_field = []
-        for f in fields:
-            nm = f"lower(trim(coalesce({f}, '')))"
-            gram = f"substring({nm}, i, 2)"
-            masks = " | ".join(
-                f"(CASE WHEN CAST(conv(substring(md5(concat('{f}:{i}:', g)), 1, 4), 16, 10) AS INT) % {m} div {CLK_BITS} = {w} "
-                f"THEN shiftleft(CAST(1 AS BIGINT), CAST(conv(substring(md5(concat('{f}:{i}:', g)), 1, 4), 16, 10) AS INT) % {m} % {CLK_BITS}) "
-                f"ELSE CAST(0 AS BIGINT) END)"
-                for i in range(CLK_K)
-            )
-            per_field.append(
-                f"CASE WHEN length({nm}) < 2 THEN CAST(array() AS array<bigint>) "
-                f"ELSE transform(array_distinct(transform(sequence(1, length({nm}) - 1), i -> {gram})), g -> {masks}) END"
-            )
-        arrays = ", ".join(per_field)
-        return f"aggregate(flatten(array({arrays})), CAST(0 AS BIGINT), (acc, x) -> acc | x)"
+    # Each bit POSITION is computed exactly once per (bigram, hash) — the
+    # positions array is folded into the word vector with an indexed
+    # transform, instead of re-evaluating the md5/conv expression once per
+    # word in both the CASE predicate and the shift (which would roughly
+    # double encode cost per extra word at production widths).
+    per_field = []
+    for f in fields:
+        nm = f"lower(trim(coalesce({f}, '')))"
+        gram = f"substring({nm}, i, 2)"
+        poses = ", ".join(
+            f"CAST(conv(substring(md5(concat('{f}:{i}:', g)), 1, 4), 16, 10) AS INT) % {m}"
+            for i in range(CLK_K)
+        )
+        per_field.append(
+            f"CASE WHEN length({nm}) < 2 THEN CAST(array() AS array<int>) "
+            f"ELSE flatten(transform(array_distinct(transform(sequence(1, length({nm}) - 1), i -> {gram})), g -> array({poses}))) END"
+        )
+    positions = f"flatten(array({', '.join(per_field)}))"
+    fold = (
+        f"aggregate({positions}, array_repeat(CAST(0 AS BIGINT), {n_words}), "
+        f"(acc, p) -> transform(acc, (w, wi) -> "
+        f"CASE WHEN p div {CLK_BITS} = wi THEN w | shiftleft(CAST(1 AS BIGINT), p % {CLK_BITS}) ELSE w END))"
+    )
+    return df.select(F.col(id_col), F.expr(fold).alias(out_col))
 
-    words = ", ".join(word_expr(w) for w in range(n_words))
-    return df.select(F.col(id_col), F.expr(f"array({words})").alias(out_col))
+
+def popcount_wide(clk_col: str) -> Column:
+    """Total set bits across a word-array CLK (pure column algebra)."""
+    return F.expr(f"aggregate(transform({clk_col}, w -> bit_count(w)), 0, (acc, v) -> acc + v)")
 
 
 def dice_millionths_wide(clk_a_col: str, clk_b_col: str) -> Column:
@@ -226,3 +244,87 @@ def dice_millionths_wide(clk_a_col: str, clk_b_col: str) -> Column:
         f"CAST((2000000 * CAST({inter} AS BIGINT))"
         f" div ({popcount(clk_a_col)} + {popcount(clk_b_col)}) AS BIGINT)"
     )
+
+
+def _chunks_wide(df: DataFrame, clk_col: str, n_words: int) -> DataFrame:
+    """Explode each word-array CLK into its n_words × N_CHUNKS
+    (chunk_idx, chunk_value) keys — chunk_idx is GLOBAL (word-major), so
+    a key collision means the same 15-bit window of the same word."""
+    total = n_words * N_CHUNKS
+    out = df.select("*", F.explode(F.sequence(F.lit(0), F.lit(total - 1))).alias("chunk_idx"))
+    chunk_val = F.expr(
+        f"shiftright(element_at({clk_col}, CAST(chunk_idx div {N_CHUNKS} AS INT) + 1),"
+        f" (chunk_idx % {N_CHUNKS}) * {CHUNK_BITS}) & {(1 << CHUNK_BITS) - 1}"
+    )
+    return out.withColumn("chunk_val", chunk_val)
+
+
+def clk_dice_pairs_wide(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "rec_id",
+    clk_col: str = "clk_words",
+    n_words: int = 2,
+    threshold_millionths: int = 700_000,
+) -> DataFrame:
+    """Two-source PPRL matching at PRODUCTION CLK WIDTH (m = n_words × 60
+    bits as ``array<bigint>``): the wide-path candidate join that
+    completes :func:`clk_encode_wide` / :func:`dice_millionths_wide`.
+
+    Same dataflow as :func:`clk_dice_pairs`, word-generalized:
+
+    - pigeonhole chunk keys are (word_idx, chunk_idx) → n_words × N_CHUNKS
+      disjoint 15-bit windows, so every pair with Hamming ≤
+      n_words·N_CHUNKS − 1 shares at least one chunk verbatim (for
+      n_words=2 that is Hamming ≤ 7); pairs beyond the bound are linked
+      only when they happen to cohabit a chunk — stated, not assumed.
+    - blocking + scoring run in DISTINCT-CLK space (array equality is a
+      plain Spark join key), then matching encodings expand back to record
+      pairs — provably identical to the record-space join because both
+      cohabitation and Dice depend only on the CLK value.
+    - sparse-CLK caveat: an all-zero 15-bit window is itself a chunk value,
+      so records with empty windows cohabit on value 0 — the skewed-key
+      shape AQE's skew-join splitting absorbs. Production CLKs (k·|grams|
+      ≈ m/2 load per Schnell et al.) have no empty windows to speak of;
+      the guarantee is kept exact rather than silently dropping zero
+      chunks and losing pigeonhole recall.
+
+    Reference analog: the plaintext fuzzy-match channel (reference
+    database.py:389-405) at the hash width real PPRL deployments use.
+
+    Returns (rec_id_a, rec_id_b, dice_millionths) with Dice ≥ threshold
+    and at least one set bit on each side.
+    """
+    # filter AFTER distinct — same rationale as clk_dice_pairs: the guard
+    # runs on distinct encodings, not on every record with the encode
+    # expression re-inlined by project collapse
+    ua = left.select(F.col(clk_col).alias("_clk_a")).distinct().where(popcount_wide("_clk_a") > 0)
+    ub = right.select(F.col(clk_col).alias("_clk_b")).distinct().where(popcount_wide("_clk_b") > 0)
+    ca = _chunks_wide(ua, "_clk_a", n_words)
+    cb = _chunks_wide(ub, "_clk_b", n_words)
+    cand = ca.join(cb, on=["chunk_idx", "chunk_val"]).select("_clk_a", "_clk_b").distinct()
+    d = dice_millionths_wide("_clk_a", "_clk_b")
+    matches = cand.select("_clk_a", "_clk_b", d.alias("dice_millionths")).where(
+        F.col("dice_millionths") >= threshold_millionths
+    )
+    return (
+        matches.join(left.select(F.col(id_col).alias("rec_id_a"), F.col(clk_col).alias("_clk_a")), "_clk_a")
+        .join(right.select(F.col(id_col).alias("rec_id_b"), F.col(clk_col).alias("_clk_b")), "_clk_b")
+        .select("rec_id_a", "rec_id_b", "dice_millionths")
+    )
+
+
+def clk_oracle_pos_wide_sql(field_salt: str, m: int) -> list[str]:
+    """DuckDB fragments (one per hash function) computing the SAME wide-CLK
+    bit position as :func:`clk_encode_wide` for a bigram column ``g``:
+    first FOUR md5 hex digits via strpos-nibble arithmetic, mod m."""
+
+    def pos(i: int) -> str:
+        h = f"md5('{field_salt}:{i}:' || g)"
+        nibbles = " + ".join(
+            f"(strpos('0123456789abcdef', substr({h}, {j + 1}, 1)) - 1) * {16 ** (3 - j)}"
+            for j in range(4)
+        )
+        return f"(({nibbles}) % {m})"
+
+    return [pos(i) for i in range(CLK_K)]

@@ -8,7 +8,7 @@ the method surface is Iceberg-shaped (append / overwrite / merge-style upsert
 local change (the sandbox has no Iceberg jars — noted, not hidden).
 
 Lineage/metrics: every pipeline stage appends rows to ``_metrics``
-(run_id, stage, rows_out, partitions, wall_s, extra) — the explicit
+(run_id, stage, rows_out, wall_s, extra) — the explicit
 per-partition lineage the north rule demands, replacing errs.txt-style logs.
 """
 
@@ -21,6 +21,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 class Warehouse:
@@ -392,28 +393,28 @@ class MetricsSink:
         self.run_id = run_id or uuid.uuid4().hex[:12]
         self.rows: list[dict] = []
 
-    def record(self, stage: str, df: DataFrame | None = None, **extra) -> None:
-        row = {
-            "run_id": self.run_id,
-            "stage": stage,
-            "wall_s": extra.pop("wall_s", None),
-            "rows_out": None,
-            "partitions": None,
-            "extra": json.dumps(extra, default=str),
-            "recorded_at": time.time(),
-        }
-        if df is not None:
-            row["partitions"] = df.rdd.getNumPartitions()
-        self.rows.append(row)
+    # Explicit schema: ``flush`` must never rely on type inference — an
+    # all-None column raises CANNOT_DETERMINE_TYPE on sessions where Arrow
+    # conversion is disabled (the PySpark default), even though it happens to
+    # work when ``spark.sql.execution.arrow.pyspark.enabled`` is true.
+    _SCHEMA = T.StructType(
+        [
+            T.StructField("run_id", T.StringType()),
+            T.StructField("stage", T.StringType()),
+            T.StructField("wall_s", T.DoubleType()),
+            T.StructField("rows_out", T.LongType()),
+            T.StructField("extra", T.StringType()),
+            T.StructField("recorded_at", T.DoubleType()),
+        ]
+    )
 
     def record_count(self, stage: str, rows_out: int, wall_s: float | None = None, **extra) -> None:
         self.rows.append(
             {
                 "run_id": self.run_id,
                 "stage": stage,
-                "wall_s": wall_s,
-                "rows_out": rows_out,
-                "partitions": None,
+                "wall_s": float(wall_s) if wall_s is not None else None,
+                "rows_out": int(rows_out),
                 "extra": json.dumps(extra, default=str),
                 "recorded_at": time.time(),
             }
@@ -422,9 +423,9 @@ class MetricsSink:
     def flush(self) -> None:
         if not self.rows:
             return
-        import pandas as pd
-
-        pdf = pd.DataFrame(self.rows)
-        df = self.warehouse.spark.createDataFrame(pdf)
+        df = self.warehouse.spark.createDataFrame(
+            [tuple(r[f.name] for f in self._SCHEMA.fields) for r in self.rows],
+            schema=self._SCHEMA,
+        )
         self.warehouse.append("_metrics", df)
         self.rows = []

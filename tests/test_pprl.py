@@ -163,3 +163,64 @@ def test_clk_encode_wide_matches_referee_and_dice(spark):
     b1 = enc.where(F.col("rec_id") == 1).select(F.col("clk_words").alias("wb"))
     [r1] = a.crossJoin(b1).select(pprl.dice_millionths_wide("wa", "wb").alias("d")).collect()
     assert r1["d"] == pprl.MILLION
+
+
+def _referee_wide_pairs(left, right, n_words=2, threshold=700_000):
+    """Plain-Python record-space referee for clk_dice_pairs_wide: chunk
+    cohabitation + integer Dice, quadratic on purpose (oracle duty only)."""
+    cb, nc = pprl.CHUNK_BITS, pprl.N_CHUNKS
+    mask = (1 << cb) - 1
+
+    def chunks(words):
+        return [
+            (wi * nc + j, (w >> (j * cb)) & mask)
+            for wi, w in enumerate(words)
+            for j in range(nc)
+        ]
+
+    out = {}
+    for ra, wa in left:
+        if sum(x.bit_count() for x in wa) == 0:
+            continue
+        for rb, wb in right:
+            if sum(x.bit_count() for x in wb) == 0:
+                continue
+            if not set(chunks(wa)) & set(chunks(wb)):
+                continue
+            inter = sum((x & y).bit_count() for x, y in zip(wa, wb))
+            denom = sum(x.bit_count() for x in wa) + sum(x.bit_count() for x in wb)
+            d = 2 * pprl.MILLION * inter // denom
+            if d >= threshold:
+                out[(ra, rb)] = d
+    return out
+
+
+def test_clk_dice_pairs_wide_matches_referee(spark):
+    """End-to-end wide (120-bit) blocking join vs the quadratic referee on
+    a corpus with identical pairs, typo'd pairs, unrelated names, and
+    empty/short strings — the candidate join the 60-bit path had and the
+    wide path gained in r5."""
+    names = [
+        "amara almeida", "bruno jansen", "chiara okafor", "daniyar petrov",
+        "elena vasquez", "farid nakamura", "greta lindqvist", "hassan oyelaran",
+        "", "x",
+    ]
+    left_rows = [(2 * i, n) for i, n in enumerate(names)]
+    typo = {1: "bruno jensen", 3: "deniyer petrov"}
+    right_rows = [(2 * i + 1, typo.get(i, n)) for i, n in enumerate(names)]
+    ldf = spark.createDataFrame(left_rows, "rec_id long, name string")
+    rdf = spark.createDataFrame(right_rows, "rec_id long, name string")
+    enc_l = pprl.clk_encode_wide(ldf, "rec_id", ["name"], n_words=2)
+    enc_r = pprl.clk_encode_wide(rdf, "rec_id", ["name"], n_words=2)
+    got = {
+        (r["rec_id_a"], r["rec_id_b"]): r["dice_millionths"]
+        for r in pprl.clk_dice_pairs_wide(enc_l, enc_r, threshold_millionths=500_000).collect()
+    }
+    ref_l = [(i, _referee_clk_wide({"name": n})) for i, n in left_rows]
+    ref_r = [(i, _referee_clk_wide({"name": n})) for i, n in right_rows]
+    want = _referee_wide_pairs(ref_l, ref_r, threshold=500_000)
+    assert got == want
+    # sanity on the fixture itself: every identical pair linked at 1.0
+    for i in range(8):
+        if i not in typo:
+            assert got[(2 * i, 2 * i + 1)] == pprl.MILLION
