@@ -1,11 +1,19 @@
 """Driver-simulator: run every queries() entry on Spark AND its oracle_sql()
 on DuckDB at sf0.01; compare row counts, column names, and order-insensitive
-value hashes. Usage: python scripts/check_oracles.py [--json PATH] [name ...]
+value hashes. Usage:
+python scripts/check_oracles.py [--json PATH] [--vanilla] [name ...]
 
 --json PATH additionally writes a CORRECTNESS-shaped artifact (one object
 per checked query: rows/schema/hash match flags + row counts) so the FULL
 query surface is recorded in-repo each round, not only the first-50 window
 the harness checks.
+
+--vanilla runs the sweep on a DEFAULT-shaped SparkSession instead of the
+tuned get_spark() one: no Arrow conversion, no explicit AQE/skew confs,
+default 200 shuffle partitions, JVM-default timezone — the round-4 lesson
+(the one red CORRECTNESS_r04 row was a conf-DEPENDENCE bug invisible on
+the tuned session) turned into a sweepable guarantee. Only spark.ui and
+driver memory are set (operational, not semantic).
 """
 
 from __future__ import annotations
@@ -48,13 +56,26 @@ def value_hash(pdf: pd.DataFrame) -> str:
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
 
 
-def main(only: list[str], json_path: str | None = None) -> int:
+def main(only: list[str], json_path: str | None = None, vanilla: bool = False) -> int:
     import json
 
     import __spark_entry__ as ent
-    from repostcheckerbot_spark.session import get_spark
 
-    spark = get_spark(master="local[8]", shuffle_partitions=16)
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle_check_vanilla")
+            .master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", "8g")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        from repostcheckerbot_spark.session import get_spark
+
+        spark = get_spark(master="local[8]", shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
@@ -129,4 +150,7 @@ if __name__ == "__main__":
         i = argv.index("--json")
         jp = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
-    sys.exit(main(argv, json_path=jp))
+    van = "--vanilla" in argv
+    if van:
+        argv.remove("--vanilla")
+    sys.exit(main(argv, json_path=jp, vanilla=van))
