@@ -183,10 +183,15 @@ def connected_components(
     e = e.repartition(parts)
 
     prev_sig = None
+    uf_rows: list | None = None
     for it in range(max_iterations):
         t0 = time.monotonic()
         e = _small_star(_large_star(e))
-        probe_now = (it + 1) % probe_interval == 0 or it == max_iterations - 1
+        # probe after the FIRST round unconditionally: one large+small round
+        # collapses a dense match graph by orders of magnitude (measured
+        # 1.77M → 43k edges at sf1.0), and the earlier the probe fires the
+        # earlier the bounded fast path below can take over.
+        probe_now = it == 0 or (it + 1) % probe_interval == 0 or it == max_iterations - 1
         if checkpoint_dir is not None:
             # durable-resume mode: every round lands in parquet (the write IS
             # the materialization; north-rule resumability)
@@ -210,6 +215,28 @@ def connected_components(
         if sig == prev_sig:
             break
         prev_sig = sig
+        # Mid-run hybrid switch: both stars preserve the component partition
+        # over the surviving node set (Kiveris et al. §3), and every non-root
+        # member of a ≥2-node component keeps at least one incident edge each
+        # round, so union-find over the CURRENT contracted edge set yields
+        # exactly the final assignment. Once the probe (which already counted
+        # the rows) shows the graph under the bound, the remaining O(log n)
+        # rounds — each a full job on the driver floor — collapse into one
+        # bounded collect. Same explicit bound as the entry fast path.
+        if checkpoint_dir is None and sig[0] <= small_graph_threshold:
+            uf_rows = e.collect()
+            break
+
+    if uf_rows is not None:
+        out = _driver_union_find(spark, uf_rows, metrics)
+        if vertices is not None:
+            singles = (
+                vertices.select("conv_id")
+                .join(out.select("conv_id"), "conv_id", "left_anti")
+                .withColumn("cluster_id", F.col("conv_id"))
+            )
+            out = out.unionByName(singles)
+        return out
 
     # converged edge set is a star forest: src → component min. Parents also
     # need their own row.

@@ -381,26 +381,30 @@ def _chunk_parts(b0: int, b1: int) -> tuple[int, int, int, int, int]:
     return (b0, lo_width, hi_start - 32, hi_width, lo_width)
 
 
-def simhash_chunk_exprs(num_chunks: int, dialect: str) -> list[str]:
-    """Per-chunk extraction expressions over (sim_hi, sim_lo) — one string per
+def simhash_chunk_exprs(
+    num_chunks: int, dialect: str, hi: str = "sim_hi", lo: str = "sim_lo"
+) -> list[str]:
+    """Per-chunk extraction expressions over (``hi``, ``lo``) — one string per
     chunk, for ``dialect`` in {'spark', 'duckdb'}. chunk_val = the chunk's
-    bits as an integer (lo-half bits in the low positions)."""
+    bits as an integer (lo-half bits in the low positions). The column names
+    are parameterised so the earliest-agreeing-chunk filter can re-state the
+    same chunk over both sides of the candidate join (ah/al vs bh/bl)."""
     exprs = []
     for b0, b1 in simhash_chunk_bounds(num_chunks):
         lo_shift, lo_width, hi_shift, hi_width, lo_bits = _chunk_parts(b0, b1)
         parts = []
         if lo_width:
             if dialect == "spark":
-                parts.append(f"(shiftright(sim_lo, {lo_shift}) & {(1 << lo_width) - 1})")
+                parts.append(f"(shiftright({lo}, {lo_shift}) & {(1 << lo_width) - 1})")
             else:
-                parts.append(f"((sim_lo // {1 << lo_shift}) % {1 << lo_width})")
+                parts.append(f"(({lo} // {1 << lo_shift}) % {1 << lo_width})")
         if hi_width:
             scale = 1 << lo_bits
             if dialect == "spark":
-                hi = f"(shiftright(sim_hi, {hi_shift}) & {(1 << hi_width) - 1})"
+                h = f"(shiftright({hi}, {hi_shift}) & {(1 << hi_width) - 1})"
             else:
-                hi = f"((sim_hi // {1 << hi_shift}) % {1 << hi_width})"
-            parts.append(f"{hi} * {scale}" if lo_bits else hi)
+                h = f"(({hi} // {1 << hi_shift}) % {1 << hi_width})"
+            parts.append(f"{h} * {scale}" if lo_bits else h)
         exprs.append(" + ".join(parts))
     return exprs
 
@@ -469,7 +473,11 @@ def simhash_near_pairs(
             raise ValueError(f"num_chunks={num_chunks} breaks the pigeonhole guarantee")
     else:
         key_exprs = simhash_combo_keys(num_chunks, combo_size, max_hamming)
-    s = simhash64(docs)
+    # lazy lineage cut: the self-join otherwise plans TWO independent
+    # ArrowEvalPython subtrees (scan + Arrow signature pass each) — the
+    # broadcast build side cannot reuse the probe side's exchange. One
+    # shared materialization halves the Python-boundary work (guide §4).
+    s = simhash64(docs).localCheckpoint(eager=False)
     chunk_structs = ", ".join(
         f"struct({i} as chunk_id, {e} as chunk_val)" for i, e in enumerate(key_exprs)
     )
@@ -477,24 +485,52 @@ def simhash_near_pairs(
         "doc_id", "sim_hi", "sim_lo", F.explode(F.expr(f"array({chunk_structs})")).alias("c")
     ).select("doc_id", "sim_hi", "sim_lo", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk_val").alias("chunk_val"))
     a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = (
+    # Hamming is computed and filtered STRAIGHT OFF THE JOIN OUTPUT (2 xor +
+    # 2 bit_count of columns already in flight — pure codegen), so the
+    # candidate blowup (measured 511M candidate rows for 1.77M true pairs at
+    # sf1.0: 8-bit chunk keys collide heavily at 50k docs) never reaches a
+    # shuffle. A previous cut ran dropDuplicates FIRST, shipping every
+    # candidate row (6 BIGINTs + first()-agg state) through an Exchange —
+    # 226 s at sf1.0 for what is ~8 s of join+filter work (guide §2.3/§2.4:
+    # filter ahead of the exchange, shuffle only survivors).
+    cand = (
         a.join(b, ["chunk_id", "chunk_val"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
+            F.col("chunk_id").alias("chunk_id"),
             F.col("a.sim_hi").alias("ah"),
             F.col("a.sim_lo").alias("al"),
             F.col("b.sim_hi").alias("bh"),
             F.col("b.sim_lo").alias("bl"),
         )
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
         .withColumn(
             "hamming",
             F.bit_count(F.col("ah").bitwiseXOR(F.col("bh"))) + F.bit_count(F.col("al").bitwiseXOR(F.col("bl"))),
         )
         .where(F.col("hamming") < max_hamming)
     )
+    if combo_size == 1:
+        # Earliest-agreeing-chunk emission (standard LSH dedup-free trick):
+        # a qualifying pair is generated once per agreeing chunk; keep ONLY
+        # the row whose chunk_id is the pair's minimal agreeing chunk — every
+        # earlier chunk must DISagree. The chunk values of both sides are
+        # restatements over (ah, al)/(bh, bl) already in flight, so the
+        # whole dedup is one codegen'd Filter: zero exchanges in the
+        # operator. Output rows are identical to dropDuplicates (the payload
+        # is pair-determined).
+        ea = simhash_chunk_exprs(num_chunks, "spark", hi="ah", lo="al")
+        eb = simhash_chunk_exprs(num_chunks, "spark", hi="bh", lo="bl")
+        no_earlier = " AND ".join(
+            f"(chunk_id <= {j} OR ({ea[j]}) != ({eb[j]}))" for j in range(num_chunks - 1)
+        )
+        pairs = cand.where(F.expr(no_earlier)) if no_earlier else cand
+    else:
+        # combo keys are salted hashes of chunk subsets — re-stating them per
+        # candidate row would rebuild strings per key; the surviving set is
+        # already hamming-filtered and narrow, so a keyed dedup is cheap.
+        pairs = cand.dropDuplicates(["doc_id_a", "doc_id_b"])
     return pairs.select(
         "doc_id_a",
         "doc_id_b",
