@@ -162,23 +162,26 @@ def connected_components(
     # pairs); right-size partitions so each of the O(log n) rounds doesn't
     # pay a full-width shuffle of near-empty tasks.
     e = e.localCheckpoint(eager=False)
-    if checkpoint_dir is None:
-        # ONE job both sizes the graph and fetches it when small: a
-        # limit-collect at threshold+1 materializes the (lazy) checkpoint,
-        # and its length decides the path — the previous count()-then-
-        # collect() shape paid two job launches on the driver floor.
-        rows = e.limit(small_graph_threshold + 1).collect()
-        if len(rows) <= small_graph_threshold:
-            out = _driver_union_find(spark, rows, metrics)
-            if vertices is not None:
-                singles = (
-                    vertices.select("conv_id")
-                    .join(out.select("conv_id"), "conv_id", "left_anti")
-                    .withColumn("cluster_id", F.col("conv_id"))
-                )
-                out = out.unionByName(singles)
-            return out
+    # Materialize the checkpoint with a full-parallel count, THEN fetch when
+    # small. A previous cut fused sizing+fetch into ONE limit-collect job to
+    # save a launch on the driver floor — but limit executes as an
+    # incremental take (1, 4, 16, ... partitions per job), which serializes
+    # the expensive final stage of the edge computation: the flagship's
+    # difflib stage ran a handful of tasks at a time instead of 32-wide
+    # (measured 38.6 s vs 9.7 s for the identical chain at sf1.0). The
+    # count is work both paths need (the distributed path sizes partitions
+    # with it), and the collect afterwards reads persisted partitions.
     n_edges = e.count()
+    if checkpoint_dir is None and n_edges <= small_graph_threshold:
+        out = _driver_union_find(spark, e.collect(), metrics)
+        if vertices is not None:
+            singles = (
+                vertices.select("conv_id")
+                .join(out.select("conv_id"), "conv_id", "left_anti")
+                .withColumn("cluster_id", F.col("conv_id"))
+            )
+            out = out.unionByName(singles)
+        return out
     parts = max(1, min(e.sparkSession.sparkContext.defaultParallelism, n_edges // 20_000 + 1))
     e = e.repartition(parts)
 
@@ -460,8 +463,12 @@ def pivot_clusters(
     # (the oracle's independence argument); tests assert fast path, MIS
     # path, and referee all agree. small_graph_threshold=0 forces MIS.
     e_dir = e.distinct().localCheckpoint(eager=False)
-    rows = e_dir.limit(small_graph_threshold + 1).collect()
-    if len(rows) <= small_graph_threshold:
+    # count-then-collect, NOT limit-collect: limit's incremental take runs
+    # the upstream candidate join's final stage a few partitions per job
+    # (see connected_components for the measured pathology).
+    n_dir = e_dir.count()
+    rows = e_dir.collect() if n_dir <= small_graph_threshold else []
+    if n_dir <= small_graph_threshold:
         spark = edges.sparkSession
         adj: dict[str, set] = {}
         for r in rows:
@@ -623,8 +630,12 @@ def threshold_clustering(
     # tests assert both paths produce identical ladders.
     small = cc_kwargs.get("small_graph_threshold", 100_000)
     if base_ckpt is None:
-        rows = e.limit(small + 1).collect()
-        if len(rows) <= small:
+        # count-then-collect, NOT limit-collect: limit's incremental take
+        # serializes the upstream candidate join's final stage (see the
+        # connected_components entry probe for the measured pathology).
+        n_e = e.count()
+        rows = e.collect() if n_e <= small else []
+        if n_e <= small:
             from pyspark.sql import types as T
 
             spark = edges.sparkSession

@@ -45,7 +45,7 @@ from repostcheckerbot_spark.operators.assembly import assemble_docs
 from repostcheckerbot_spark.operators.blocking import with_bands, with_signature
 from repostcheckerbot_spark.operators.clustering import connected_components
 from repostcheckerbot_spark.operators.retention import apply_ingest_gate, within_retention
-from repostcheckerbot_spark.operators.scoring import difflib_ratio
+from repostcheckerbot_spark.operators.scoring import difflib_ratio_once
 from repostcheckerbot_spark.sinks.state import MetricsSink, Warehouse
 
 DOC_COLS = ["conv_id", "doc_sha", "norm_text", "role_sig", "tool", "first_ts", "n_turns"]
@@ -293,7 +293,7 @@ class IncrementalPipeline:
         # spread the CPU-bound scoring stage (see scoring.fuzzy_edges)
         paired = paired.repartition(paired.sparkSession.sparkContext.defaultParallelism)
         fuzzy = (
-            paired.withColumn("ratio", difflib_ratio(F.col("ta"), F.col("tb")))
+            paired.withColumn("ratio", difflib_ratio_once(F.col("ta"), F.col("tb")))
             .where(F.col("ratio") > F.lit(cfg.ratio_threshold))
             .select(
                 "conv_id_a",

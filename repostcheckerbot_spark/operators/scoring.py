@@ -42,6 +42,16 @@ def difflib_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
+#: difflib_ratio for FILTERED paths (guide §4.4): a `withColumn(ratio, udf)`
+#: + `where(ratio > t)` otherwise plans TWO ArrowEvalPython nodes — the
+#: optimizer pushes the filter below the explicit repartition with a COPY of
+#: the UDF, so every candidate pair pays difflib twice AND the expensive
+#: copy runs at the upstream AQE-coalesced partitioning (measured: a 10-task
+#: 19.7 s stage at sf1.0 whose tasks idle on Python at 0.6 s JVM CPU).
+#: Non-determinism pins a single evaluation above the repartition exchange.
+difflib_ratio_once = difflib_ratio.asNondeterministic()
+
+
 def _jaro(s1: str, s2: str) -> float:
     """Jaro similarity, DuckDB-parity conventions (validated bit-exact on 4000
     random pairs): empty side → 0.0 (even '' vs ''), match window
@@ -164,7 +174,7 @@ def fuzzy_edges(candidates: DataFrame, docs: DataFrame, cfg: PipelineConfig) -> 
     # coalescing would pack these (byte-small, cycle-heavy) rows onto 1-2
     # cores. Spread explicitly to the cluster's full parallelism.
     paired = paired.repartition(paired.sparkSession.sparkContext.defaultParallelism)
-    scored = paired.withColumn("ratio", difflib_ratio(F.col("text_a"), F.col("text_b")))
+    scored = paired.withColumn("ratio", difflib_ratio_once(F.col("text_a"), F.col("text_b")))
     return scored.where(F.col("ratio") > F.lit(cfg.ratio_threshold)).select(
         "conv_id_a",
         "conv_id_b",
