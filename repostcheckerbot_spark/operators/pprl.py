@@ -87,6 +87,20 @@ def _bigram_masks_sql(field_expr: str, field_salt: str) -> str:
     )
 
 
+def _spread_encode_input(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism ahead of the CPU-bound
+    encode projection when the scan arrives under-split (a small parquet
+    file is ONE split under files.maxPartitionBytes, which pins the whole
+    md5-per-bigram encode to one core — measured four 1-task 12-15 s encode
+    stages at sf1.0 while 31 cores idled). Same rationale/shape as
+    dedup_docs._spread; a well-partitioned production scan passes through
+    untouched."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism)
+
+
 def clk_encode(df: DataFrame, id_col: str, fields: list[str], out_col: str = "clk") -> DataFrame:
     """(id, quasi-identifier fields) → (id, clk BIGINT).
 
@@ -95,7 +109,20 @@ def clk_encode(df: DataFrame, id_col: str, fields: list[str], out_col: str = "cl
     sets different bits (CLK composition per Schnell et al. 2011)."""
     mask_arrays = ", ".join(_bigram_masks_sql(f, f) for f in fields)
     clk = F.expr(f"aggregate(flatten(array({mask_arrays})), CAST(0 AS BIGINT), (acc, x) -> acc | x)")
-    return df.select(F.col(id_col), clk.alias(out_col))
+    return _spread_encode_input(df).select(F.col(id_col), clk.alias(out_col))
+
+
+def _spread_cand(cand: DataFrame) -> DataFrame:
+    """Round-robin the distinct-CLK candidate frame across the executor pool
+    before scoring and record-pair expansion. The frame is BYTE-small (one
+    row per distinct-encoding pair), so AQE's size-based coalescing collapses
+    the distinct's output to one partition — and every downstream operator,
+    including the expansion joins that each emit |members_a|·|members_b| rows
+    per match, then runs single-task (measured: 1-task 11 s stages emitting
+    117M rows at sf1.0 while 31 cores idle). Same CPU-vs-bytes rationale as
+    the difflib/signature spreads (guide §2.5: AQE sizes by bytes, blind to
+    downstream row amplification)."""
+    return cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
 
 
 def _chunks(df: DataFrame, clk_col: str) -> DataFrame:
@@ -145,6 +172,13 @@ def clk_dice_pairs(
     work, so the chunk join is bounded by distinct encodings, not
     records; cohabitation and Dice depend only on the CLK value, so the
     output is provably identical to the record-space join."""
+    # one encode pass per side: the distinct-CLK subtree AND the expansion
+    # join below otherwise each re-run the md5-per-bigram encode lineage
+    # (two full encode stages per side in the plan) — a lazy lineage cut
+    # materializes the slim (id, clk) frame once (same pattern as the
+    # simhash signature checkpoint)
+    left = left.localCheckpoint(eager=False)
+    right = right.localCheckpoint(eager=False)
     # filter AFTER distinct: the popcount guard then runs on the handful of
     # distinct encodings instead of re-inlining the full encode expression
     # into a pre-shuffle Filter over every record (project-collapse would
@@ -153,7 +187,9 @@ def clk_dice_pairs(
     ub = right.select(F.col(clk_col).alias("_clk_b")).distinct().where(F.bit_count("_clk_b") > 0)
     ca = _chunks(ua, "_clk_a")
     cb = _chunks(ub, "_clk_b")
-    cand = ca.join(cb, on=["chunk_idx", "chunk_val"]).select("_clk_a", "_clk_b").distinct()
+    cand = _spread_cand(
+        ca.join(cb, on=["chunk_idx", "chunk_val"]).select("_clk_a", "_clk_b").distinct()
+    )
     d = dice_millionths("_clk_a", "_clk_b")
     matches = cand.select("_clk_a", "_clk_b", d.alias("dice_millionths")).where(
         F.col("dice_millionths") >= threshold_millionths
@@ -220,7 +256,7 @@ def clk_encode_wide(
         f"(acc, p) -> transform(acc, (w, wi) -> "
         f"CASE WHEN p div {CLK_BITS} = wi THEN w | shiftleft(CAST(1 AS BIGINT), p % {CLK_BITS}) ELSE w END))"
     )
-    return df.select(F.col(id_col), F.expr(fold).alias(out_col))
+    return _spread_encode_input(df).select(F.col(id_col), F.expr(fold).alias(out_col))
 
 
 def popcount_wide(clk_col: str) -> Column:
@@ -295,14 +331,20 @@ def clk_dice_pairs_wide(
     Returns (rec_id_a, rec_id_b, dice_millionths) with Dice ≥ threshold
     and at least one set bit on each side.
     """
-    # filter AFTER distinct — same rationale as clk_dice_pairs: the guard
-    # runs on distinct encodings, not on every record with the encode
-    # expression re-inlined by project collapse
+    # one encode pass per side + filter AFTER distinct — same rationale as
+    # clk_dice_pairs: the lineage cut stops the distinct subtree and the
+    # expansion join from each re-running the encode, and the guard runs on
+    # distinct encodings, not on every record with the encode expression
+    # re-inlined by project collapse
+    left = left.localCheckpoint(eager=False)
+    right = right.localCheckpoint(eager=False)
     ua = left.select(F.col(clk_col).alias("_clk_a")).distinct().where(popcount_wide("_clk_a") > 0)
     ub = right.select(F.col(clk_col).alias("_clk_b")).distinct().where(popcount_wide("_clk_b") > 0)
     ca = _chunks_wide(ua, "_clk_a", n_words)
     cb = _chunks_wide(ub, "_clk_b", n_words)
-    cand = ca.join(cb, on=["chunk_idx", "chunk_val"]).select("_clk_a", "_clk_b").distinct()
+    cand = _spread_cand(
+        ca.join(cb, on=["chunk_idx", "chunk_val"]).select("_clk_a", "_clk_b").distinct()
+    )
     d = dice_millionths_wide("_clk_a", "_clk_b")
     matches = cand.select("_clk_a", "_clk_b", d.alias("dice_millionths")).where(
         F.col("dice_millionths") >= threshold_millionths
