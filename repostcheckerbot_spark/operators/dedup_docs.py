@@ -47,7 +47,7 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
     """Groups of byte-identical (post-normalization) documents: one row per
     duplicated content hash with the member count and the keeper (min id)."""
     return (
-        normalized(docs)
+        normalized(_spread(docs))
         .withColumn("content_md5", F.md5("norm_text"))
         .groupBy("content_md5")
         .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper_doc_id"))
@@ -58,7 +58,7 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
 def exact_dedup_keep_first(docs: DataFrame) -> DataFrame:
     """The dedup itself: keep the min doc_id per content hash (the distributed
     rendering of dropDuplicates with a deterministic survivor)."""
-    ranked = normalized(docs).withColumn("content_md5", F.md5("norm_text"))
+    ranked = normalized(_spread(docs)).withColumn("content_md5", F.md5("norm_text"))
     keepers = ranked.groupBy("content_md5").agg(F.min("doc_id").alias("doc_id"))
     return ranked.join(keepers, ["content_md5", "doc_id"], "left_semi").select(docs.columns)
 
@@ -140,7 +140,13 @@ def lsh_candidates_md5(docs: DataFrame, k: int = 5, bands: int = 4, rows_per_ban
     """Banded LSH over the md5 MinHash: candidate (doc_id_a < doc_id_b) pairs
     sharing at least one band bucket. The only wide op is the banded
     equi-join (see banded_md5)."""
-    banded = banded_md5(docs, k=k, bands=bands, rows_per_band=rows_per_band)
+    # lazy lineage cut: both self-join sides otherwise re-run the md5
+    # signature UDF subtree (the broadcast build side cannot reuse the probe
+    # side's exchange) — measured as two back-to-back 4 s × 32-task UDF
+    # stages at sf1.0. Same pattern as the simhash signature checkpoint.
+    banded = banded_md5(docs, k=k, bands=bands, rows_per_band=rows_per_band).localCheckpoint(
+        eager=False
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, ["band_id", "band_hash"])

@@ -308,8 +308,16 @@ def tfidf_cosine_pairs(
     accepted and stated rather than hidden.
     """
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # spread the scan ahead of the ×|grams| explode: a few-MB parquet file
+    # arrives as 1-2 splits, pinning the tokenize+explode+tf map side (the
+    # CPU-heavy stage: ~470 gram rows per doc) to 1-2 cores — measured a
+    # 2-task 6.3 s stage at sf1.0 (same rationale as dedup_docs._spread)
+    base = docs.select("doc_id", text_col)
+    sc = docs.sparkSession.sparkContext
+    if base.rdd.getNumPartitions() < sc.defaultParallelism:
+        base = base.repartition(sc.defaultParallelism)
     grams = (
-        docs.select("doc_id", words.alias("_w"))
+        base.select("doc_id", words.alias("_w"))
         .where(F.size("_w") >= n)
         .select(
             "doc_id",
@@ -325,7 +333,12 @@ def tfidf_cosine_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         # three consumers follow (df aggregate, then the probe side of the
         # rare join) — materialize the tokenize+explode+tf subtree ONCE
-        # instead of recomputing the whole corpus scan per branch
+        # instead of recomputing the whole corpus scan per branch.
+        # repartition BEFORE the cut: AQE coalesces the byte-small agg
+        # output to ~2 partitions, which would serialize every downstream
+        # stage reading the checkpoint (the gram self-join amplifies rows,
+        # so bytes-based coalescing undersizes it — guide §2.5).
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
         .localCheckpoint(eager=False)
     )
     n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
@@ -338,7 +351,9 @@ def tfidf_cosine_pairs(
         grams.join(F.broadcast(rare), "gram")
         .withColumn("w", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
         .select("doc_id", "gram", "w")
-        # consumed by norms + BOTH sides of the pair self-join
+        # consumed by norms + BOTH sides of the pair self-join; spread for
+        # the same row-amplification reason as the tf checkpoint above
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
         .localCheckpoint(eager=False)
     )
     norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))

@@ -45,6 +45,15 @@ WORDS_PER_TURN = 8
 
 def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    # the documents file is written as ONE parquet row group, so the scan
+    # cannot split below one task — and the three turnify branches below
+    # each word-split + explode every doc (~10 turn rows per doc) on that
+    # single core. Spread the slim doc rows across the pool first (same
+    # rationale as dedup_docs._spread; a well-partitioned production scan
+    # passes through untouched).
+    sc = spark.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
 
     def turnify(df: DataFrame, conv_prefix: str, ts_offset_days: int) -> DataFrame:
         words = F.split(F.trim(F.col("text")), r"\s+")
