@@ -23,6 +23,20 @@ from pyspark.sql import types as T
 from pyspark.sql import Window
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism ahead of the CPU-bound
+    vector stages (zip_with/aggregate cosines, centroid-assignment matmuls).
+    The embeddings parquet is written as ONE row group, so the scan arrives
+    as a single split and would otherwise pin the whole O(corpus × probes)
+    scoring stage to 1-2 cores (measured: 2-task 4.7 s brute-force stage at
+    sf1.0). Same pattern as dedup_docs._spread; a well-partitioned
+    production scan passes through untouched."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism)
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
@@ -40,7 +54,7 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """For each probe vector: the k most-cosine-similar corpus vectors
     (excluding itself). Probe side is broadcast — corpus is never shuffled."""
-    corpus = embeddings.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    corpus = _spread(embeddings).select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
     p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"))
     scored = (
         corpus.join(F.broadcast(p), F.col("probe_id") != F.col("corpus_id"))
@@ -77,7 +91,7 @@ def cosine_topk_lsh(
     """ANN: candidates share the sign sketch (all ``len(planes)`` hyperplane
     sides), exact cosine re-rank inside the bucket. Recall < 1 by design —
     compare against cosine_topk_bruteforce to measure it."""
-    corpus = with_sign_sketch(embeddings, planes, vec_col).select(
+    corpus = with_sign_sketch(_spread(embeddings), planes, vec_col).select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"), "sketch"
     )
     p = with_sign_sketch(probes, planes, vec_col).select(
@@ -140,7 +154,7 @@ def cosine_topk_lsh_multi(
     P(candidate) = (1−θ/π)^b for angle θ; T independent tables lift recall to
     1−(1−p)^T at T× candidate cost). One equi-join on (table_id, sketch);
     exact cosine re-rank; pair dedup before ranking."""
-    corpus = _multi_sketch(embeddings, tables, "corpus_id", "cv", id_col, vec_col)
+    corpus = _multi_sketch(_spread(embeddings), tables, "corpus_id", "cv", id_col, vec_col)
     p = _multi_sketch(probes, tables, "probe_id", "pv", id_col, vec_col)
     scored = (
         corpus.join(F.broadcast(p), ["table_id", "sketch"])
@@ -271,7 +285,7 @@ def _centroid_topn_udf(centroids: list[list[float]], n: int):
 def with_ivf_cell(embeddings: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> DataFrame:
     """Assign every vector to its nearest centroid (its IVF cell)."""
     topn = _centroid_topn_udf(centroids, 1)
-    return embeddings.withColumn("cell", topn(F.col(vec_col))[0])
+    return _spread(embeddings).withColumn("cell", topn(F.col(vec_col))[0])
 
 
 #: default per-cell membership cap for the IVF join paths. One degenerate
@@ -439,7 +453,7 @@ def embedding_near_dup_pairs(
         max_cell,
     )
     topn = _centroid_topn_udf(centroids, nprobe)
-    probes = embeddings.select(
+    probes = _spread(embeddings).select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
         F.explode(topn(F.col(vec_col))).alias("cell"),
