@@ -309,8 +309,12 @@ def bm25_scores(
     and the df/avgdl aggregates are one-row broadcasts; the per-(doc, term)
     groupBy is the only real shuffle.
     """
+    from repostcheckerbot_spark.functions.partitioning import spread_to_parallelism
+
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    base = docs.select(
+    # spread the single-row-group scan before the word split + explode,
+    # which otherwise runs single-task (functions/partitioning.py)
+    base = spread_to_parallelism(docs.select("doc_id", text_col)).select(
         "doc_id",
         words.alias("_w"),
         F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
