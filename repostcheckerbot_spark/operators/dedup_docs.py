@@ -86,23 +86,62 @@ def minhash_md5_signatures(docs: DataFrame, k: int = 5, num_hashes: int = 8) -> 
     """
     import hashlib
 
+    import numpy as np
     from pyspark.sql import types as T
-
-    def _sig(t: str | None) -> list[str] | None:
-        if t is None:
-            return None
-        # shingle positions mirror sequence(1, greatest(length-k+1, 1)):
-        # texts shorter than k yield the single (short) prefix shingle.
-        shingles = {t[i : i + k] for i in range(max(len(t) - (k - 1), 1))}
-        enc = [s.encode("utf-8") for s in shingles]
-        return [
-            min(hashlib.md5(b"%d:" % seed + e).digest() for e in enc).hex()
-            for seed in range(num_hashes)
-        ]
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
-        return pd.Series([_sig(t) for t in texts])
+        # Batch-level shingle dedup: planted duplicates and near-duplicates
+        # share most of their k-shingles, so hashing each DISTINCT shingle
+        # once per batch (instead of once per containing doc) cuts the md5
+        # call count by the corpus duplication factor; the per-doc minimum
+        # then reduces over a numpy view of the shared hash table. Values
+        # are bit-identical to the per-doc formulation (md5 of the same
+        # (seed, shingle) bytes; min over the same per-doc set — min over
+        # fixed-length digests == min over their lowercase hex).
+        doc_sets: list[set | None] = []
+        vocab: dict[str, int] = {}
+        for t in texts:
+            if t is None:
+                doc_sets.append(None)
+                continue
+            # shingle positions mirror sequence(1, greatest(length-k+1, 1)):
+            # texts shorter than k yield the single (short) prefix shingle.
+            sh = {t[i : i + k] for i in range(max(len(t) - (k - 1), 1))}
+            doc_sets.append({vocab.setdefault(s, len(vocab)) for s in sh})
+        n_vocab = len(vocab)
+        # digest table as big-endian (hi, lo) uint64 pairs: unsigned order
+        # on (hi, lo) == byte-wise order on the raw 16-byte digest == order
+        # on the lowercase hex string, so the per-doc minimum reduces over
+        # two numeric numpy passes and the hex re-materializes from the
+        # minimum itself.
+        enc = [b""] * n_vocab
+        for s, idx in vocab.items():
+            enc[idx] = s.encode("utf-8")
+        buf = bytearray(16 * n_vocab)
+        his = np.empty((num_hashes, n_vocab), dtype=np.uint64)
+        los = np.empty((num_hashes, n_vocab), dtype=np.uint64)
+        for seed in range(num_hashes):
+            prefix = b"%d:" % seed
+            for idx, e in enumerate(enc):
+                buf[idx * 16 : idx * 16 + 16] = hashlib.md5(prefix + e).digest()
+            words = np.frombuffer(bytes(buf), dtype=">u8").reshape(n_vocab, 2)
+            his[seed] = words[:, 0]
+            los[seed] = words[:, 1]
+        out = []
+        for ids in doc_sets:
+            if ids is None:
+                out.append(None)
+                continue
+            idx = np.fromiter(ids, dtype=np.int64, count=len(ids))
+            sig = []
+            for seed in range(num_hashes):
+                h = his[seed, idx]
+                m = h.min()
+                ml = los[seed, idx][h == m].min()
+                sig.append(f"{int(m):016x}{int(ml):016x}")
+            out.append(sig)
+        return pd.Series(out)
 
     return _spread(normalized(docs)).select("doc_id", sig_udf(F.col("norm_text")).alias("sig"))
 
