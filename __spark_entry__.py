@@ -1436,6 +1436,10 @@ def _q_threshold_cluster_ladder(spark, sf):
         id_b_col="doc_id_b",
         vertices=d.select(F.col("doc_id").cast("string").alias("doc_id")),
         out_col="doc_id",
+        # the edge endpoints ARE doc_ids of d (self-join over the same
+        # frame), so the vertex frame provably covers them — skips the
+        # 2x|edges| endpoint union in the operator
+        vertices_cover_edges=True,
     )
 
 
@@ -1469,6 +1473,7 @@ def _q_threshold_merge_edges(spark, sf):
         id_b_col="doc_id_b",
         vertices=d.select(F.col("doc_id").cast("string").alias("doc_id")),
         out_col="doc_id",
+        vertices_cover_edges=True,  # endpoints are doc_ids of d (see above)
     ).localCheckpoint(eager=False)
     return merge_responsible_edges(
         edges,

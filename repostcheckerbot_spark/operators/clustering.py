@@ -562,6 +562,7 @@ def threshold_clustering(
     id_b_col: str = "conv_id_b",
     vertices: DataFrame | None = None,
     out_col: str = "conv_id",
+    vertices_cover_edges: bool = False,
     **cc_kwargs,
 ) -> DataFrame:
     """Single-linkage clusters at a LADDER of distance thresholds — the
@@ -607,11 +608,19 @@ def threshold_clustering(
     # every endpoint must be covered from level 0 on, even if its first edge
     # only activates at a loose threshold — otherwise the contraction at
     # that level would have no representative to map it through.
-    verts = e.select(F.col("ea").alias(out_col)).unionByName(
-        e.select(F.col("eb").alias(out_col))
-    )
-    if vertices is not None:
-        verts = verts.unionByName(vertices.select(F.col(out_col)))
+    # ``vertices_cover_edges``: the caller guarantees vertices ⊇ all edge
+    # endpoints (true whenever the edges derive from the same record frame,
+    # e.g. a self-join over the vertex table), so the 2·|edges|-row
+    # endpoint union+distinct collapses to a distinct over the vertex frame
+    # (measured 1.39 s → 0.32 s at sf1.0's 1.77M string edges).
+    if vertices_cover_edges and vertices is not None:
+        verts = vertices.select(F.col(out_col))
+    else:
+        verts = e.select(F.col("ea").alias(out_col)).unionByName(
+            e.select(F.col("eb").alias(out_col))
+        )
+        if vertices is not None:
+            verts = verts.unionByName(vertices.select(F.col(out_col)))
     verts = verts.distinct().localCheckpoint(eager=False)
 
     # each level's closure gets its OWN checkpoint subdirectory — a shared

@@ -372,28 +372,50 @@ def simhash64(docs: DataFrame) -> DataFrame:
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def simhash_udf(texts: pd.Series) -> pd.Series:
-        his, los = [], []
+        # Batch-level token dedup (same pattern as the minhash signature
+        # UDF): md5 each DISTINCT token of the Arrow batch once — planted
+        # duplicates/near-duplicates share most tokens — then form each
+        # doc's vote vector as counts @ signs over the shared ±1 bit
+        # matrix. Integer votes are order-independent sums, so the result
+        # is bit-identical to the per-occurrence formulation.
         weights_lo = (1 << np.arange(32, dtype=np.int64))
+        vocab: dict[str, int] = {}
+        doc_tok_ids: list[np.ndarray | None] = []
         for t in texts:
             toks = [x for x in ws.split((t or "").lower().strip()) if x]
             if not toks:
-                his.append(0)
-                los.append(0)
+                doc_tok_ids.append(None)
                 continue
+            doc_tok_ids.append(
+                np.fromiter((vocab.setdefault(x, len(vocab)) for x in toks), dtype=np.int64, count=len(toks))
+            )
+        n_vocab = len(vocab)
+        signs = np.empty((max(n_vocab, 1), 64), dtype=np.int32)
+        if n_vocab:
+            enc = [b""] * n_vocab
+            for s, idx in vocab.items():
+                enc[idx] = s.encode("utf-8")
             digests = np.frombuffer(
-                b"".join(hashlib.md5(tok.encode("utf-8")).digest() for tok in toks), dtype=np.uint8
-            ).reshape(len(toks), 16)
+                b"".join(hashlib.md5(e).digest() for e in enc), dtype=np.uint8
+            ).reshape(n_vocab, 16)
             # hex digit j of the md5 string = high nibble (j even) / low
             # nibble (j odd) of digest byte j//2; bit b uses digit b//4,
             # bit position (b % 4) — LSB-first within the digit, matching
             # (digit div 2^(b%4)) % 2 in the SQL oracle.
-            nibbles = np.empty((len(toks), 32), dtype=np.uint8)
+            nibbles = np.empty((n_vocab, 32), dtype=np.uint8)
             nibbles[:, 0::2] = digests >> 4
             nibbles[:, 1::2] = digests & 0x0F
             digits = nibbles[:, :16]  # bits 0..63 use hex digits 0..15
-            bits = (digits[:, :, None] >> np.arange(4)[None, None, :]) & 1  # (n,16,4)
-            bits = bits.reshape(len(toks), 64)
-            votes = (bits.astype(np.int32) * 2 - 1).sum(axis=0)
+            bits = (digits[:, :, None] >> np.arange(4)[None, None, :]) & 1  # (v,16,4)
+            signs = bits.reshape(n_vocab, 64).astype(np.int32) * 2 - 1
+        his, los = [], []
+        for ids in doc_tok_ids:
+            if ids is None:
+                his.append(0)
+                los.append(0)
+                continue
+            uniq, cnts = np.unique(ids, return_counts=True)
+            votes = cnts.astype(np.int64) @ signs[uniq]
             bitval = (votes > 0).astype(np.int64)
             los.append(int((bitval[:32] * weights_lo).sum()))
             his.append(int((bitval[32:] * weights_lo).sum()))

@@ -464,3 +464,51 @@ def test_pivot_clusters_fast_and_mis_paths_identical(spark):
     )
     assert fast == mis
     assert ("alone", "alone") in fast
+
+
+def test_threshold_clustering_vertices_cover_edges_flag_identical(spark):
+    """``vertices_cover_edges=True`` (skip the 2·|edges| endpoint union when
+    the caller guarantees vertices ⊇ endpoints) must produce the IDENTICAL
+    ladder as the default path — including vertex singletons and vertices
+    whose first edge only activates at a loose level. Also exercises the
+    distributed path (small_graph_threshold=0) so the coverage guarantee is
+    tested through the contraction levels, not just the driver fast path."""
+    from repostcheckerbot_spark.operators.clustering import threshold_clustering
+
+    rng = random.Random(7)
+    nodes = [f"t{i:03d}" for i in range(80)]
+    edges = []
+    for _ in range(120):
+        a, b = rng.sample(nodes, 2)
+        edges.append((min(a, b), max(a, b), rng.randint(0, 9)))
+    e = spark.createDataFrame(edges, ["conv_id_a", "conv_id_b", "weight"])
+    # vertices cover every endpoint (plus true singletons) — the flag's
+    # precondition, matching the entry call sites where the edge set is a
+    # self-join over the same record frame
+    v = spark.createDataFrame([(n,) for n in nodes + ["hermit"]], ["conv_id"])
+    base = sorted(
+        map(tuple, threshold_clustering(e, [2, 6], vertices=v).collect())
+    )
+    flagged = sorted(
+        map(
+            tuple,
+            threshold_clustering(
+                e, [2, 6], vertices=v, vertices_cover_edges=True
+            ).collect(),
+        )
+    )
+    assert flagged == base
+    flagged_dist = sorted(
+        map(
+            tuple,
+            threshold_clustering(
+                e,
+                [2, 6],
+                vertices=v,
+                vertices_cover_edges=True,
+                small_graph_threshold=0,
+            ).collect(),
+        )
+    )
+    assert flagged_dist == base
+    assert ("hermit", 2, "hermit") in base
