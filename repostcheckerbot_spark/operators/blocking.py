@@ -462,14 +462,29 @@ def metablocking_pairs(
     return out
 
 
-def generate_candidates(docs: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
+def generate_candidates(
+    docs: DataFrame, cfg: PipelineConfig, spread: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """docs → (candidate pairs, bucket skew metrics). One-stop composition
     (fused text→signature UDF; see with_signature).
 
     The signature frame is slimmed to (block cols, conv_id, minhash) BEFORE
     the ×bands explode: exploding full-width doc rows (multi-KB texts) copies
     every byte ``bands`` times — measured 41 s vs 6 s at bench scale.
+
+    ``spread``: repartition docs to the executor pool before the CPU-bound
+    signature UDF. Standalone callers hand in the ASSEMBLY OUTPUT, whose
+    reduce side AQE coalesces to a handful of byte-sized partitions — the
+    signature stage then runs that narrow (bytes-based coalescing is blind
+    to Python CPU; the runtime partition count is not even visible to a
+    conditional check because the AQE plan hasn't executed yet). Callers
+    that already spread+checkpointed the docs (run_batch) pass False so
+    the exchange isn't paid twice.
     """
+    if spread:
+        docs = docs.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "conv_id"
+        )
     sig = with_signature(docs, cfg).select(*cfg.block_cols, "conv_id", "minhash")
     banded = with_bands(sig, cfg)
     return candidate_pairs(banded, cfg)

@@ -68,7 +68,10 @@ def run_batch(
     # consumer's action materializes it — an eager checkpoint is one more
     # sequential job launch on the driver floor (BENCH/BASELINE.md).
     docs = docs.localCheckpoint(eager=False)
-    candidates, bucket_metrics = generate_candidates(docs, cfg)
+    # spread=False: docs were repartitioned to the pool (and lazily
+    # checkpointed) two lines up — the operator's own spread would pay the
+    # exchange a second time
+    candidates, bucket_metrics = generate_candidates(docs, cfg, spread=False)
     candidates = candidates.localCheckpoint(eager=False)
     edges = match_edges(docs, candidates, cfg)
 
