@@ -178,6 +178,11 @@ class IncrementalPipeline:
             )
         else:
             reps = batch_reps.select("doc_sha", F.col("brep").alias("rep"))
+        # reps feeds the exact star edges AND the corpus_reps merge; the lazy
+        # checkpoint cuts the corpus_reps-file lineage so the overlap plan
+        # below can rewrite the table while the scoring job still runs
+        # (non-overlap paths: the new_edges aggregate materializes it).
+        reps = reps.localCheckpoint(eager=False)
         exact = (
             probe.join(reps, "doc_sha")
             .where(F.col("conv_id") != F.col("rep"))
@@ -275,6 +280,79 @@ class IncrementalPipeline:
             )
             metrics.record_count("ingest.text_lookup", 0, wall_s=_lap(), **text_pruning)
             texts = corpus_texts.select("conv_id", "doc_sha", "norm_text").unionByName(texts)
+        # texts is the LAST corpus_docs reader in the scoring lineage; the
+        # lazy checkpoint frees the table for the concurrent docs merge below
+        texts = texts.localCheckpoint(eager=False)
+
+        # ---- persist closures (ST5 idempotent upserts) ----------------------
+        # Defined here so the overlap plan below can launch them while the
+        # scoring job still runs. Each touches ONE table and reads only
+        # materialized checkpoints plus its own table's files.
+        def _persist_docs() -> dict:
+            # corpus_docs is hash-bucketed by conv_id: the merge rewrites
+            # only the buckets this batch touches (I/O ∝ batch, not corpus)
+            return self.wh.upsert(
+                "corpus_docs",
+                batch_docs.select(*DOC_COLS),
+                key="conv_id",
+                n_buckets=cfg.warehouse_buckets,
+                touched=_tb("corpus_docs", conv_buckets),
+            )
+
+        def _persist_reps() -> None:
+            # corpus_reps index: upsert the batch shas' rep rows (existing
+            # shas rewrite their identical row — idempotent)
+            self.wh.upsert(
+                "corpus_reps",
+                reps.select("doc_sha", "rep"),
+                key="doc_sha",
+                n_buckets=cfg.warehouse_buckets,
+                touched=_tb("corpus_reps", sha_buckets),
+            )
+
+        def _persist_bands() -> None:
+            # corpus_bands: hash-bucketed by band_hash (append-only — band
+            # rows are immutable per conv) so the probe prunes at scan time
+            self.wh.append_bucketed(
+                "corpus_bands", batch_bands, key="band_hash", n_buckets=cfg.warehouse_buckets
+            )
+
+        def _persist_edges() -> dict:
+            # edges: bucketed MERGE on the pair key (bucketed by conv_id_a) —
+            # write I/O ∝ new edges' buckets.
+            return self.wh.upsert(
+                "edges",
+                new_edges.dropDuplicates(["conv_id_a", "conv_id_b"]),
+                key=["conv_id_a", "conv_id_b"],
+                n_buckets=cfg.warehouse_buckets,
+                touched=_tb("edges", edge_buckets),
+            )
+
+        # ---- overlap plan (guide §2.6: back-fill the executor pool) ---------
+        # The scoring leg (candidate join → difflib → new-edges aggregate)
+        # reads ONLY checkpointed frames once `texts` and `reps` are
+        # materialized, so the bands/docs/reps persists run CONCURRENTLY with
+        # the CPU-bound difflib job instead of serially after it: batch wall
+        # = max(scoring, persists), not their sum. Tombstoned batches keep the
+        # strict order (the tombstone frame's lineage is caller-owned and must
+        # not race a table rewrite).
+        overlap = self.wh.exists("corpus_reps") and tombstones is None
+        pool_exec = None
+        f_docs = f_reps = f_bands = None
+        if overlap:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool_exec = ThreadPoolExecutor(max_workers=6)
+            f_bands = pool_exec.submit(_persist_bands)
+            # two tiny concurrent jobs materialize the checkpoints (their
+            # compute is work the scoring job needed anyway)
+            f_t = pool_exec.submit(texts.count)
+            f_r = pool_exec.submit(reps.count)
+            f_t.result()
+            f_r.result()
+            f_docs = pool_exec.submit(_persist_docs)
+            f_reps = pool_exec.submit(_persist_reps)
+
         # exact-exclusion (J4) is SHA-INEQUALITY, not an edge anti-join: exact
         # edges are stars now, so two non-rep members of one sha group never
         # appear in `exact` — equal shas are the complete exclusion criterion
@@ -310,66 +388,18 @@ class IncrementalPipeline:
             new_edges = new_edges.join(
                 dead.withColumnRenamed("conv_id", "conv_id_a"), "conv_id_a", "left_anti"
             ).join(dead.withColumnRenamed("conv_id", "conv_id_b"), "conv_id_b", "left_anti")
-        # lazy: the metric aggregate materializes the checkpoint — and it MUST
-        # run before the upserts below rewrite the corpus files this lineage
-        # reads. The same aggregate also yields the edge-table bucket ids the
-        # edges merge will touch (fused, like the batch_docs aggregate above).
+        # lazy: the metric aggregate materializes the checkpoint — it MUST run
+        # before the edges merge rewrites the table this batch appends to (in
+        # overlap mode the scoring lineage reads only checkpoints, so the
+        # docs/reps/bands rewrites may already be in flight). The same
+        # aggregate also yields the edge-table bucket ids the edges merge
+        # will touch (fused, like the batch_docs aggregate above).
         new_edges = new_edges.localCheckpoint(eager=False)
         erow = new_edges.agg(
             F.count(F.lit(1)).alias("n"), _b("conv_id_a").alias("eb")
         ).collect()[0]
         edge_buckets = list(erow["eb"])
         metrics.record_count("ingest.new_edges", int(erow["n"]), wall_s=_lap())
-
-        # ---- persist state (idempotent upserts, ST5) -------------------------
-        # The four state writes touch DISJOINT tables and read only
-        # materialized checkpoints (batch_docs, batch_bands, new_edges) plus
-        # their own table's files, so they run CONCURRENTLY from driver
-        # threads (Spark's scheduler interleaves the jobs across the
-        # executor pool — on a cluster this is four small jobs sharing the
-        # same stage slots): persist wall = max of the four, not the sum.
-        # Every merge gets its touched-bucket list pre-computed (fused into
-        # the aggregates above), so no write pays a bucket-id collect job.
-        def _persist_docs() -> dict:
-            # corpus_docs is hash-bucketed by conv_id: the merge rewrites
-            # only the buckets this batch touches (I/O ∝ batch, not corpus)
-            return self.wh.upsert(
-                "corpus_docs",
-                batch_docs.select(*DOC_COLS),
-                key="conv_id",
-                n_buckets=cfg.warehouse_buckets,
-                touched=_tb("corpus_docs", conv_buckets),
-            )
-
-        def _persist_reps() -> None:
-            # corpus_reps index: upsert the batch shas' rep rows (existing
-            # shas rewrite their identical row — idempotent)
-            self.wh.upsert(
-                "corpus_reps",
-                reps.select("doc_sha", "rep"),
-                key="doc_sha",
-                n_buckets=cfg.warehouse_buckets,
-                touched=_tb("corpus_reps", sha_buckets),
-            )
-
-        def _persist_bands() -> None:
-            # corpus_bands: hash-bucketed by band_hash (append-only — band
-            # rows are immutable per conv) so the probe prunes at scan time
-            self.wh.append_bucketed(
-                "corpus_bands", batch_bands, key="band_hash", n_buckets=cfg.warehouse_buckets
-            )
-
-        def _persist_edges() -> dict:
-            # edges: bucketed MERGE on the pair key (bucketed by conv_id_a) —
-            # the r2 cut rewrote + dropDuplicates'd the FULL edge history
-            # every batch; now write I/O ∝ new edges' buckets.
-            return self.wh.upsert(
-                "edges",
-                new_edges.dropDuplicates(["conv_id_a", "conv_id_b"]),
-                key=["conv_id_a", "conv_id_b"],
-                n_buckets=cfg.warehouse_buckets,
-                touched=_tb("edges", edge_buckets),
-            )
 
         # ---- full-recompute clusters swap, hoisted INTO the persist pool ----
         # Below the hybrid threshold the cluster update is a full CC +
@@ -422,7 +452,19 @@ class IncrementalPipeline:
                     ),
                 )
 
-        if self.wh.exists("corpus_reps"):
+        if overlap:
+            # docs/reps/bands have been racing the scoring job since before
+            # difflib ran; only edges + the clusters swap remain to launch.
+            f_edges = pool_exec.submit(_persist_edges)
+            f_clusters = pool_exec.submit(_recompute_full) if full_cc_in_pool else None
+            stats = f_docs.result()
+            f_reps.result()
+            f_bands.result()
+            edge_stats = f_edges.result()
+            if f_clusters is not None:
+                f_clusters.result()
+            pool_exec.shutdown()
+        elif self.wh.exists("corpus_reps"):
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=5) as pool:
