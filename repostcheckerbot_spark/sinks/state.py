@@ -228,25 +228,48 @@ class Warehouse:
         if not touched:  # empty batch: nothing to merge, nothing rewritten
             return {"rows_written": 0, "buckets_touched": 0, "buckets_total": n_buckets}
         current = self._read_raw(table).where(F.col("_bucket").isin(touched))
-        merged = (
-            current.join(df2.select(*keys).distinct(), keys, "left_anti")
-            .unionByName(df2)
-            # materialize BEFORE overwriting the path being read (classic
-            # read-then-overwrite footgun; the staging protocol equivalent).
-            # LAZY + count(): the count IS the materializing action — one job
-            # instead of two (the micro-batch pays a 1-3 s driver floor per
-            # job launch, BENCH/BASELINE.md).
-            .localCheckpoint(eager=False)
-        )
-        rows = merged.count()
-        # per-write option — scoped to this write, unlike the session conf
-        # (a session-global toggle races with concurrent writers).
+        merged = current.join(df2.select(*keys).distinct(), keys, "left_anti").unionByName(df2)
+        # Stage the merged buckets beside the table, then SWAP the touched
+        # bucket partitions in (the upsert_replace protocol, per-bucket): the
+        # staged write reads the live files from a DIFFERENT output path, so
+        # there is no read-then-overwrite hazard and no materialize-first
+        # count job — ONE Spark job per merge instead of the old
+        # checkpoint-count + dynamic-overwrite pair (the micro-batch pays a
+        # driver floor per job launch, BENCH/BASELINE.md).
         # repartition on _bucket: one task → one file per rewritten bucket
         # (same small-file rationale as upsert_replace); the shuffle moves
         # only the touched buckets' rows, already ∝ batch.
-        merged.repartition(F.col("_bucket")).write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("_bucket").parquet(path)
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        staged = self._path(f"_staging_{table}_{uuid.uuid4().hex[:8]}")
+        merged.repartition(F.col("_bucket")).write.mode("overwrite").partitionBy(
+            "_bucket"
+        ).parquet(staged)
+        rows = 0
+        for b in touched:
+            src = f"{staged}/_bucket={b}"
+            dst = f"{path}/_bucket={b}"
+            if not os.path.isdir(src):
+                # superset-listed bucket with no current AND no batch rows —
+                # nothing staged, nothing to replace (a bucket whose current
+                # rows were all matched still stages the replacing df2 rows,
+                # so an existing dst always has a staged src)
+                continue
+            rows += sum(
+                pq.ParquetFile(os.path.join(src, f)).metadata.num_rows
+                for f in os.listdir(src)
+                if f.endswith(".parquet")
+            )
+            if os.path.isdir(dst):
+                tmp_old = f"{path}/_old_bucket_{b}_{uuid.uuid4().hex[:8]}"
+                os.rename(dst, tmp_old)
+                os.rename(src, dst)
+                shutil.rmtree(tmp_old, ignore_errors=True)
+            else:
+                os.rename(src, dst)
+        shutil.rmtree(staged, ignore_errors=True)
         return {"rows_written": rows, "buckets_touched": len(touched), "buckets_total": n_buckets}
 
     def delete_keys(
