@@ -177,10 +177,17 @@ def with_bands(docs_with_minhash: DataFrame, cfg: PipelineConfig) -> DataFrame:
     collide on a band iff those r MinHash values all agree.
     """
     b, r = cfg.bands, cfg.rows_per_band
+    # hash the band's r signature LONGS natively (xxhash64 takes the int
+    # band position + the sliced array directly). A previous cut rendered
+    # the band to a STRING first (cast + array_join + concat per band —
+    # 3.2M interpreted string builds per 50k docs, measured ~60 s of JVM
+    # CPU in the banding stage at 10× bench scale); equality semantics are
+    # unchanged — two docs collide on band j iff their r values agree, and
+    # spurious 64-bit collisions are the same class as before.
     bands_expr = (
         f"transform(sequence(0, {b - 1}),"
         f" j -> struct(j as band_id,"
-        f" xxhash64(concat(cast(j as string), '|', array_join(slice(minhash, j * {r} + 1, {r}), ','))) as band_hash))"
+        f" xxhash64(j, slice(minhash, j * {r} + 1, {r})) as band_hash))"
     )
     return docs_with_minhash.withColumn("band", F.explode(F.expr(bands_expr))).select(
         "*", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
