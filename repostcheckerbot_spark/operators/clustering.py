@@ -75,8 +75,9 @@ def _driver_union_find(
 ) -> DataFrame:
     """Bounded small-graph fast path: union-find with path compression and
     min-id roots on the driver. Only reachable when the deduped edge count is
-    ≤ ``small_graph_threshold`` (an explicit, metered bound — ~100k string
-    pairs ≈ 10 MB — NOT an unbounded corpus collect). The star-contraction
+    ≤ ``small_graph_threshold`` (an explicit, metered bound — 500k string
+    pairs ≈ 25-50 MB, well under spark.driver.maxResultSize — NOT an
+    unbounded corpus collect). The star-contraction
     path pays ~1-3 s of scheduler latency per probe job, which dominates
     end-to-end wall when the edge set is tiny; union-find on the same graph
     is milliseconds. Result is identical: cluster_id = lexicographic min.
@@ -125,7 +126,7 @@ def connected_components(
     max_iterations: int = 50,
     metrics: list[dict] | None = None,
     probe_interval: int = 2,
-    small_graph_threshold: int = 100_000,
+    small_graph_threshold: int = 500_000,
 ) -> DataFrame:
     """edges(conv_id_a, conv_id_b) [+ vertices(conv_id)] → (conv_id, cluster_id).
 
@@ -391,7 +392,7 @@ def pivot_clusters(
     vertices: DataFrame | None = None,
     out_col: str = "conv_id",
     max_rounds: int = 60,
-    small_graph_threshold: int = 100_000,
+    small_graph_threshold: int = 500_000,
 ) -> DataFrame:
     """Greedy PIVOT correlation clustering — KwikCluster (Ailon, Charikar &
     Newman, STOC'05 — public algorithm) with the random permutation
@@ -637,7 +638,7 @@ def threshold_clustering(
     # argument requires referee.single_linkage_levels to stay unshared).
     # small_graph_threshold=0 forces the distributed contraction path;
     # tests assert both paths produce identical ladders.
-    small = cc_kwargs.get("small_graph_threshold", 100_000)
+    small = cc_kwargs.get("small_graph_threshold", 500_000)
     if base_ckpt is None:
         # count-then-collect, NOT limit-collect: limit's incremental take
         # serializes the upstream candidate join's final stage (see the
