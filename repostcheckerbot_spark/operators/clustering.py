@@ -31,6 +31,8 @@ from __future__ import annotations
 
 import time
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -114,9 +116,11 @@ def _driver_union_find(
                 "wall_s": time.monotonic() - t0,
             }
         )
-    return spark.createDataFrame(
-        sorted(set(assign)), "conv_id string, cluster_id string"
-    )
+    # build via pandas: with Arrow enabled the transfer is columnar instead
+    # of per-row pickles (tens of thousands of rows per batch at bench
+    # scale); sessions without Arrow fall back to the old path unchanged.
+    pdf = pd.DataFrame(sorted(set(assign)), columns=["conv_id", "cluster_id"])
+    return spark.createDataFrame(pdf, schema="conv_id string, cluster_id string")
 
 
 def connected_components(
@@ -681,10 +685,16 @@ def threshold_clustering(
                     T.StructField("cluster_id", id_type),
                 ]
             )
-            assign = spark.createDataFrame(data, schema)
+            # pandas-built frames ride Arrow when the session enables it
+            # (|node_set| x |thresholds| rows — six figures at bench scale);
+            # non-Arrow sessions fall back to the row path unchanged.
+            assign = spark.createDataFrame(
+                pd.DataFrame(data, columns=[out_col, "threshold", "cluster_id"]),
+                schema=schema,
+            )
             nodes_df = spark.createDataFrame(
-                [(n,) for n in node_set],
-                T.StructType([T.StructField(out_col, id_type)]),
+                pd.DataFrame({out_col: list(node_set)}),
+                schema=T.StructType([T.StructField(out_col, id_type)]),
             )
             singles = (
                 verts.join(nodes_df, out_col, "left_anti")
