@@ -368,8 +368,11 @@ class IncrementalPipeline:
             )
             .where(F.col("sha_a") != F.col("sha_b"))
         )
-        # spread the CPU-bound scoring stage (see scoring.fuzzy_edges)
-        paired = paired.repartition(paired.sparkSession.sparkContext.defaultParallelism)
+        # spread the CPU-bound scoring stage, keyed by conv_id_b so the
+        # scorer's set_seq2 reuse fires (see scoring.fuzzy_edges)
+        paired = paired.repartition(
+            paired.sparkSession.sparkContext.defaultParallelism, F.col("conv_id_b")
+        )
         fuzzy = (
             paired.withColumn("ratio", difflib_ratio_once(F.col("ta"), F.col("tb")))
             .where(F.col("ratio") > F.lit(cfg.ratio_threshold))

@@ -36,10 +36,34 @@ def difflib_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
     is symmetric in value, but autojunk classification is per-second-argument;
     we pass (a, b) in canonical (conv_id_a < conv_id_b) order and the fixture
     oracle is computed the same way, so verdicts align.
+
+    The batch is processed in b-sorted order with ONE reused matcher:
+    ``set_seq2`` (the expensive side — b2j index + autojunk classification)
+    runs once per DISTINCT b in the batch instead of once per pair. Results
+    are per-pair and order-independent, so this is value-identical to a
+    fresh matcher per pair (asserted by the scorer parity tests); the call
+    sites repartition candidate pairs BY conv_id_b so same-b pairs land in
+    the same batch and the reuse actually fires.
     """
-    return pd.Series(
-        [SequenceMatcher(None, x, y).ratio() if x is not None and y is not None else 0.0 for x, y in zip(a, b)]
-    )
+    import numpy as np
+
+    av = a.to_numpy(dtype=object)
+    bv = b.to_numpy(dtype=object)
+    keys = np.array([x if x is not None else "" for x in bv], dtype=object)
+    order = np.argsort(keys, kind="stable")
+    out = np.zeros(len(bv), dtype=np.float64)
+    sm = SequenceMatcher(None)
+    prev: object = None
+    for i in order:
+        x, y = av[i], bv[i]
+        if x is None or y is None:
+            continue
+        if y != prev:
+            sm.set_seq2(y)
+            prev = y
+        sm.set_seq1(x)
+        out[i] = sm.ratio()
+    return pd.Series(out)
 
 
 #: difflib_ratio for FILTERED paths (guide §4.4): a `withColumn(ratio, udf)`
@@ -172,8 +196,14 @@ def fuzzy_edges(candidates: DataFrame, docs: DataFrame, cfg: PipelineConfig) -> 
     )
     # The difflib stage is CPU-bound, not size-bound: AQE's size-based
     # coalescing would pack these (byte-small, cycle-heavy) rows onto 1-2
-    # cores. Spread explicitly to the cluster's full parallelism.
-    paired = paired.repartition(paired.sparkSession.sparkContext.defaultParallelism)
+    # cores. Spread explicitly to the cluster's full parallelism — KEYED by
+    # conv_id_b: a keyed exchange skips the local sort every keyless
+    # repartition pays (spark.sql.execution.sortBeforeRepartition) and
+    # co-locates same-b pairs so the scorer's set_seq2 reuse fires;
+    # thousands of distinct b values over the pool hash evenly.
+    paired = paired.repartition(
+        paired.sparkSession.sparkContext.defaultParallelism, F.col("conv_id_b")
+    )
     scored = paired.withColumn("ratio", difflib_ratio_once(F.col("text_a"), F.col("text_b")))
     return scored.where(F.col("ratio") > F.lit(cfg.ratio_threshold)).select(
         "conv_id_a",
