@@ -3,7 +3,9 @@ job on the identical input at local[8] (N) and local[32] (4N), launched via
 ``spark-submit --py-files`` of the packaged repo. Reports throughput (turns/s)
 at each level and efficiency = (throughput_32 / throughput_8) / 4.
 
-Writes BENCH/SCALING_RUN.md (raw protocol output; the curated evidence doc
+Writes BENCH/SCALING_RUN_latest.md (raw protocol output of THIS run only —
+the hand-curated window history lives in BENCH/SCALING_RUN.md and is never
+touched by this script; the curated evidence doc
 BENCH/BASELINE.md is maintained by hand from these runs). Run from the repo
 root:
     python scripts/scaling_bench.py [sf_dir]
@@ -200,7 +202,7 @@ def main() -> None:
         f"{results[c]['wall_s']} | {results[c]['turns_per_sec']} |"
         for c in levels
     )
-    with open(os.path.join(REPO, "BENCH", "SCALING_RUN.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "SCALING_RUN_latest.md"), "w") as f:
         f.write(
             f"""# BENCH/SCALING_RUN — raw protocol output (see BASELINE.md for the curated evidence)
 
@@ -232,7 +234,7 @@ Correctness cross-check: outputs at all parallelism levels are identical
 (edges/cluster_members columns above).
 """
         )
-    print(f"efficiency {eff:.3f}; wrote BENCH/SCALING_RUN.md")
+    print(f"efficiency {eff:.3f}; wrote BENCH/SCALING_RUN_latest.md")
 
 
 if __name__ == "__main__":
