@@ -314,13 +314,20 @@ def bm25_scores(
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     # spread the single-row-group scan before the word split + explode,
     # which otherwise runs single-task (functions/partitioning.py)
-    base = spread_to_parallelism(docs.select("doc_id", text_col)).select(
-        "doc_id",
-        words.alias("_w"),
-        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
-        .otherwise(F.size(words))
-        .cast("long")
-        .alias("dl"),
+    base = (
+        spread_to_parallelism(docs.select("doc_id", text_col))
+        .select(
+            "doc_id",
+            words.alias("_w"),
+            F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+            .otherwise(F.size(words))
+            .cast("long")
+            .alias("dl"),
+        )
+        # base feeds BOTH the corpus stats aggregate and the tf explode —
+        # the lazy checkpoint (materialized by the stats broadcast) runs
+        # the scan + word split once instead of once per consumer
+        .localCheckpoint(eager=False)
     )
     stats = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
